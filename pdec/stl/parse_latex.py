@@ -1,0 +1,261 @@
+"""Parser for the LaTeX SSTL dialect emitted by the translator LLM.
+
+Accepts the same language as the reference's regex clause engine (reference
+``test/PDEcontrol/evaluation/eval/eval_script.py:283-399``): formulas are
+``\\land`` / ``\\lor`` chains of clauses with optional bracket grouping;
+each clause looks like
+
+    F_[[0.2591, 2.7813]] (\\forall x \\in [19, 27] (u(x) - (0.3167 \\cdot x
+        + 263.3785) = 0))
+
+with several tolerated surface variants of the linear expression
+(``m \\cdot x + b``, ``x \\cdot m + b``, ``x/c + b``, implicit ``mx + b``,
+``\\frac{..}{..}``, missing expression => mu = 0) and comparators
+``< > <= >= = != \\leq \\geq``.
+
+Unlike the reference — which ``eval()``s the cleaned expression string — the
+linear profile is extracted by a safe arithmetic AST evaluator (no code
+execution on LLM output).
+
+Exports both a *structural* parse (clause strings + junction list + bracket
+tree, used by the IoU engine to mirror the reference's grouping quirks) and
+a parse to the typed `Formula` AST used for robustness/synthesis.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from typing import List, Sequence, Tuple, Union
+
+from pdec.stl.ast import Clause, Formula
+
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+
+_TEMPORAL_RE = re.compile(r"([FGU])_\[\[(" + _NUM + r"),\s*(" + _NUM + r")\]\]")
+_FORALL_RE = re.compile(
+    r"\\forall x \\in \[(" + _NUM + r"),\s*(" + _NUM + r")\]"
+)
+# The predicate: u(x) [- ( <linear expr> )] <cmp> <threshold>
+_PREDICATE_RE = re.compile(
+    r"u\(x\)\s*(?:-\s*\((?P<expr>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?"
+    r"(?P<cmp><=|>=|<|>|!=|==|=|\\leq|\\geq)\s*(?P<thr>-?\d+(?:\.\d+)?)"
+)
+
+_CMP_NORMALIZE = {"\\leq": "<=", "\\geq": ">=", "==": "=", "!=": "="}
+
+
+class SSTLParseError(ValueError):
+    pass
+
+
+def _clean_expression(expr: str) -> str:
+    """Normalize LaTeX arithmetic into python-ish arithmetic.
+
+    Mirrors the reference's ``clean_expression`` (``eval_script.py:390-399``):
+    ``\\cdot`` -> ``*``, ``\\left``/``\\right`` -> parens, ``\\frac{a}{b}``
+    -> ``a/b``, implicit ``3x`` -> ``3*x``.
+    """
+    expr = expr.replace("\\cdot", "*")
+    expr = expr.replace("\\left", "(").replace("\\right", ")")
+    expr = re.sub(r"\\frac\{(.*?)\}\{(.*?)\}", r"(\1)/(\2)", expr)
+    expr = re.sub(r"(\d)\s*([x])", r"\1*\2", expr)
+    expr = re.sub(r"([x])\s*(\d)", r"\1*\2", expr)
+    return expr
+
+
+def _safe_eval_arith(node: ast.AST, x: float) -> float:
+    """Evaluate a pure-arithmetic AST (numbers, + - * / **, unary, 'x')."""
+    if isinstance(node, ast.Expression):
+        return _safe_eval_arith(node.body, x)
+    if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        return float(node.value)
+    if isinstance(node, ast.Name) and node.id == "x":
+        return x
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.UAdd, ast.USub)):
+        v = _safe_eval_arith(node.operand, x)
+        return v if isinstance(node.op, ast.UAdd) else -v
+    if isinstance(node, ast.BinOp) and isinstance(
+        node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow)
+    ):
+        a = _safe_eval_arith(node.left, x)
+        b = _safe_eval_arith(node.right, x)
+        if isinstance(node.op, ast.Add):
+            return a + b
+        if isinstance(node.op, ast.Sub):
+            return a - b
+        if isinstance(node.op, ast.Mult):
+            return a * b
+        if isinstance(node.op, ast.Div):
+            return a / b
+        return a**b
+    raise SSTLParseError(f"unsupported expression node: {ast.dump(node)}")
+
+
+def eval_linear_expression(expr: str) -> Tuple[float, float]:
+    """Extract (m, b) from a linear-in-x arithmetic expression string."""
+    cleaned = _clean_expression(expr)
+    try:
+        tree = ast.parse(cleaned, mode="eval")
+    except SyntaxError as e:
+        raise SSTLParseError(f"cannot parse expression {expr!r}") from e
+    b = _safe_eval_arith(tree, 0.0)
+    m_plus_b = _safe_eval_arith(tree, 1.0)
+    m = m_plus_b - b
+    # Verify linearity at a third point.
+    v2 = _safe_eval_arith(tree, 2.0)
+    if abs(v2 - (2.0 * m + b)) > 1e-6 * max(1.0, abs(v2)):
+        raise SSTLParseError(f"expression {expr!r} is not linear in x")
+    return m, b
+
+
+def parse_clause_latex(text: str) -> Clause:
+    """Parse one SSTL clause string into a typed `Clause`."""
+    tm = _TEMPORAL_RE.search(text)
+    if not tm:
+        raise SSTLParseError(f"no temporal operator in {text!r}")
+    temporal_op = tm.group(1)
+    if temporal_op == "U":
+        raise SSTLParseError("U (until) clauses are not supported")
+    t0, t1 = float(tm.group(2)), float(tm.group(3))
+
+    fm = _FORALL_RE.search(text)
+    if not fm:
+        raise SSTLParseError(f"no position interval in {text!r}")
+    # Reference truncates positions to int (``eval_script.py:342``).
+    x0 = int(float(fm.group(1)))
+    x1 = int(float(fm.group(2)))
+
+    pm = _PREDICATE_RE.search(text)
+    if not pm:
+        raise SSTLParseError(f"no predicate in {text!r}")
+    expr = pm.group("expr")
+    cmp = pm.group("cmp")
+    cmp = _CMP_NORMALIZE.get(cmp, cmp)
+    threshold = float(pm.group("thr"))
+
+    if expr is None or expr.strip() == "":
+        m, b = 0.0, 0.0
+    else:
+        m, b = eval_linear_expression(expr)
+
+    # u - (m x + b) ~ thr   <=>   u - (m x + (b + thr)) ~ 0
+    return Clause.make(temporal_op, (t0, t1), (x0, x1), m, b + threshold, cmp)
+
+
+def split_sstl_structure(
+    text: str,
+) -> Tuple[List[str], List[str], tuple]:
+    """Split a formula into (clause_strings, junctions, bracket_tree).
+
+    Mirrors the reference's structural pass (``parse_sstl``,
+    ``eval_script.py:283-328``): split on ``\\land``/``\\lor``, then build a
+    nesting tree from parenthesis balance, where each leaf is a clause index
+    and each tuple is a bracketed group.
+    """
+    parts = re.split(r"(\\land|\\lor)", text)
+    clauses: List[str] = []
+    junctions: List[str] = []
+    tree: list = []
+    stack: List[list] = [tree]
+    balance = 0
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        if part == "\\land":
+            junctions.append("and")
+            continue
+        if part == "\\lor":
+            junctions.append("or")
+            continue
+        clauses.append(part)
+        idx = len(clauses) - 1
+        if part[0] in ("G", "F", "U"):
+            stack[-1].append(idx)
+        elif part[0] == "(":
+            group: list = [idx]
+            stack[-1].append(group)
+            stack.append(group)
+        else:
+            stack[-1].append(idx)
+        new_balance = balance + part.count("(") - part.count(")")
+        if new_balance < balance:
+            for _ in range(balance - new_balance):
+                if len(stack) > 1:
+                    stack.pop()
+        balance = new_balance
+
+    def to_tuple(node):
+        if isinstance(node, list):
+            return tuple(to_tuple(n) for n in node)
+        return node
+
+    return clauses, junctions, to_tuple(tree)
+
+
+def _last_leaf(node: Union[int, tuple]) -> int:
+    while isinstance(node, tuple):
+        node = node[-1]
+    return node
+
+
+def _tree_to_formula(
+    node: Union[int, tuple], clauses: Sequence[Clause], junctions: Sequence[str]
+) -> Formula:
+    if isinstance(node, int):
+        return clauses[node]
+    if len(node) == 1:
+        return _tree_to_formula(node[0], clauses, junctions)
+    # Left-fold children; the junction joining child i-1 and i is the one at
+    # the textual position of child i-1's last clause.
+    result = _tree_to_formula(node[0], clauses, junctions)
+    for i in range(1, len(node)):
+        j = junctions[_last_leaf(node[i - 1])]
+        result = (j, result, _tree_to_formula(node[i], clauses, junctions))
+    return result
+
+
+def parse_sstl_latex(text: str) -> Formula:
+    """Parse a full LaTeX SSTL formula into the typed `Formula` AST."""
+    clause_strs, junctions, tree = split_sstl_structure(text)
+    if not clause_strs:
+        raise SSTLParseError("empty formula")
+    clauses = [parse_clause_latex(c) for c in clause_strs]
+    if len(junctions) < len(clauses) - 1:
+        raise SSTLParseError("fewer junctions than needed")
+    if not tree:
+        raise SSTLParseError("empty bracket tree")
+    node = tree if len(tree) > 1 else tree[0]
+    return _tree_to_formula(node, clauses, junctions)
+
+
+def _fmt_num(v: float) -> str:
+    s = f"{v:.10g}"
+    return s
+
+
+def format_clause_latex(c: Clause) -> str:
+    """Format a clause in the ground-truth dialect used by the example bank."""
+    return (
+        f"{c.temporal_op_str}_[[{_fmt_num(c.t0)}, {_fmt_num(c.t1)}]] "
+        f"(\\forall x \\in [{_fmt_num(c.x0)}, {_fmt_num(c.x1)}]  "
+        f"(u(x) - ({_fmt_num(c.m)} \\cdot x + {_fmt_num(c.b)}) {c.cmp_str} 0))"
+    )
+
+
+def format_sstl_latex(formula: Formula) -> str:
+    """Serialize a Formula back to the GT LaTeX dialect (round-trippable)."""
+    if isinstance(formula, Clause):
+        return format_clause_latex(formula)
+    op, left, right = formula
+    tok = "\\land" if op == "and" else "\\lor"
+
+    def side(child: Formula) -> str:
+        s = format_sstl_latex(child)
+        # Parenthesize mixed-operator children so grouping survives re-parsing.
+        if isinstance(child, tuple) and child[0] != op:
+            return f"({s})"
+        return s
+
+    return f"{side(left)} {tok} {side(right)}"

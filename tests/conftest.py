@@ -1,0 +1,16 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding logic is tested on
+a virtual CPU mesh per the SURVEY §4 test strategy (the driver separately
+dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
