@@ -1,0 +1,197 @@
+"""FEM physics tests: assembly identities, analytic solutions, conservation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdec.physics.assembly import Tridiag, assemble_tridiag, element_midpoints
+from pdec.physics.heat import build_heat_system
+from pdec.physics.problem import (
+    problem_from_program,
+    static_compliance,
+    trajectory_times,
+)
+from pdec.physics.rollout import rollout_states, rollout_trajectory
+from pdec.physics.wave import build_wave_system
+from pdec.stl.program import parse_fem_program
+
+from tests.test_stl_parse import HEAT_PROGRAM, WAVE_PROGRAM
+
+
+def uniform_mesh(n, length):
+    return jnp.linspace(0.0, length, n + 1)
+
+
+class TestAssembly:
+    def test_uniform_matrices(self):
+        n, length = 4, 4.0
+        xpart = uniform_mesh(n, length)
+        rho_e = jnp.ones((n,))
+        e_e = jnp.ones((n,))
+        mass, stiff = assemble_tridiag(xpart, rho_e, e_e)
+        h = 1.0
+        # interior mass diag = 2*(2*rho*h/6) = 2h/3; ends h/3; off = h/6
+        np.testing.assert_allclose(
+            np.asarray(mass.diag), [h / 3, 2 * h / 3, 2 * h / 3, 2 * h / 3, h / 3],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(mass.off), np.full(4, h / 6), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(stiff.diag), [1, 2, 2, 2, 1], rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(stiff.off), np.full(4, -1.0), rtol=1e-6)
+
+    def test_matvec_matches_dense(self):
+        n = 6
+        xpart = jnp.cumsum(jnp.asarray([0.0, 1.0, 0.5, 2.0, 1.0, 0.7, 1.3]))
+        rho_e = jnp.asarray([1.0, 2.0, 1.5, 0.5, 3.0, 1.0])
+        e_e = jnp.asarray([2.0, 1.0, 4.0, 1.0, 2.0, 3.0])
+        mass, stiff = assemble_tridiag(xpart, rho_e, e_e)
+        x = jnp.sin(jnp.arange(n + 1, dtype=jnp.float32))
+        for t in (mass, stiff):
+            np.testing.assert_allclose(
+                np.asarray(t.matvec(x)), np.asarray(t.to_dense() @ x), rtol=1e-5
+            )
+
+    def test_midpoints(self):
+        xpart = jnp.asarray([0.0, 1.0, 3.0])
+        np.testing.assert_allclose(np.asarray(element_midpoints(xpart)), [0.5, 2.0])
+
+
+class TestHeat:
+    def test_steady_state_constant_flux(self):
+        """t->inf with constant tip flux q: u(x) - g0 = q * int_0^x dx'/E."""
+        n = 16
+        xpart = uniform_mesh(n, 2.0)
+        rho_e = jnp.full((n,), 1.0)
+        e_e = jnp.full((n,), 3.0)
+        g0, dt = 5.0, 0.05
+        a_d, b_d, c_d, x0 = build_heat_system(
+            xpart, rho_e, e_e, jnp.asarray(g0), jnp.asarray(dt)
+        )
+        q = 2.0
+        controls = jnp.full((4000,), q)
+        traj = rollout_trajectory(a_d, b_d, c_d, x0, controls, g0, n)
+        final = np.asarray(traj[-1])
+        expected = g0 + q * np.asarray(xpart) / 3.0
+        np.testing.assert_allclose(final, expected, rtol=1e-3, atol=1e-3)
+
+    def test_decay_rate_matches_analytic(self):
+        """Slowest mode of u_t = alpha u_xx, u(0)=0, u_x(L)=0 decays at
+        alpha (pi / 2L)^2."""
+        n, length = 64, 1.0
+        alpha = 0.7  # E / (rho c) with rho c = 1
+        xpart = uniform_mesh(n, length)
+        a_d, b_d, c_d, x0 = build_heat_system(
+            xpart, jnp.ones((n,)), jnp.full((n,), alpha),
+            jnp.asarray(0.0), jnp.asarray(0.01),
+        )
+        # start on the slowest eigenmode sin(pi x / 2L) over free nodes
+        x_init = jnp.sin(jnp.pi * xpart[1:] / (2 * length))
+        states = rollout_states(a_d, b_d, c_d, x_init, jnp.zeros((100,)))
+        amp = np.asarray(jnp.abs(states[:, -1]))
+        rate = -np.log(amp[-1] / amp[0]) / (100 * 0.01)
+        expected = alpha * (np.pi / (2 * length)) ** 2
+        assert rate == pytest.approx(expected, rel=2e-2)
+
+    def test_dirichlet_node_held(self):
+        n = 8
+        xpart = uniform_mesh(n, 1.0)
+        g0 = 321.0
+        a_d, b_d, c_d, x0 = build_heat_system(
+            xpart, jnp.ones((n,)), jnp.ones((n,)), jnp.asarray(g0), jnp.asarray(0.01)
+        )
+        traj = rollout_trajectory(a_d, b_d, c_d, x0, jnp.zeros((50,)), g0, n)
+        np.testing.assert_allclose(np.asarray(traj[:, 0]), g0)
+        # uniform initial temp at g0 with no input stays at g0
+        np.testing.assert_allclose(np.asarray(traj[-1]), g0, rtol=1e-5)
+
+
+class TestWave:
+    def test_energy_conservation(self):
+        """Trapezoidal rule conserves the discrete energy exactly."""
+        n = 12
+        xpart = uniform_mesh(n, 1.0)
+        rho_e = jnp.ones((n,))
+        e_e = jnp.ones((n,))
+        a_d, b_d, c_d, x0 = build_wave_system(
+            xpart, rho_e, e_e, jnp.asarray(0.0), jnp.asarray(0.01)
+        )
+        mass, stiff = assemble_tridiag(xpart, rho_e, e_e)
+        m_ff = np.asarray(mass.to_dense())[1:, 1:]
+        k_ff = np.asarray(stiff.to_dense())[1:, 1:]
+        u_init = jnp.sin(jnp.pi * xpart[1:] / 2.0)
+        z0 = jnp.concatenate([u_init, jnp.zeros((n,))])
+        states = np.asarray(rollout_states(a_d, b_d, c_d, z0, jnp.zeros((500,))))
+        u, v = states[:, :n], states[:, n:]
+        energy = 0.5 * np.einsum("ti,ij,tj->t", v, m_ff, v) + 0.5 * np.einsum(
+            "ti,ij,tj->t", u, k_ff, u
+        )
+        np.testing.assert_allclose(energy, energy[0], rtol=1e-4)
+
+    def test_fundamental_period(self):
+        """Fixed-free rod fundamental frequency f1 = c / (4L)."""
+        n, length = 64, 1.0
+        e_mod, rho = 4.0, 1.0  # c = 2
+        xpart = uniform_mesh(n, length)
+        a_d, b_d, c_d, x0 = build_wave_system(
+            xpart, jnp.full((n,), rho), jnp.full((n,), e_mod),
+            jnp.asarray(0.0), jnp.asarray(0.002),
+        )
+        # static tip-load shape released at t=0 ~ dominated by mode 1
+        u_init = jnp.asarray(xpart[1:])
+        z0 = jnp.concatenate([u_init, jnp.zeros((n,))])
+        n_steps = 2000
+        states = np.asarray(rollout_states(a_d, b_d, c_d, z0, jnp.zeros((n_steps,))))
+        tip = states[:, n - 1]
+        # measure the period from zero crossings of the tip displacement
+        crossings = np.where(np.diff(np.signbit(tip)))[0]
+        period = 2 * np.mean(np.diff(crossings)) * 0.002
+        c_speed = np.sqrt(e_mod / rho)
+        expected_period = 4 * length / c_speed  # 1/f1
+        assert period == pytest.approx(expected_period, rel=2e-2)
+
+    def test_forced_response_moves_tip(self):
+        n = 12
+        xpart = uniform_mesh(n, 1.0)
+        a_d, b_d, c_d, x0 = build_wave_system(
+            xpart, jnp.ones((n,)), jnp.ones((n,)), jnp.asarray(0.0), jnp.asarray(0.01)
+        )
+        # fundamental period = 4 L / c = 4 s = 400 steps; average over 4 full
+        # periods so the undamped oscillation cancels around the static value
+        traj = rollout_trajectory(a_d, b_d, c_d, x0, jnp.full((1600,), 0.5), 0.0, n)
+        # static answer: u(L) = q * L / E = 0.5
+        assert float(np.mean(np.asarray(traj[1:, -1]))) == pytest.approx(0.5, rel=0.1)
+
+
+class TestProblemLowering:
+    def test_heat_program_lowering(self):
+        prog = parse_fem_program(HEAT_PROGRAM)
+        sys = problem_from_program(prog, max_steps=200)
+        assert sys.a_d.shape == (30, 30)
+        assert sys.n_out == 30
+        assert float(sys.g0) == 321.0
+        assert int(sys.n_steps) == 160
+        assert float(sys.u_scale) > 0
+        ts = trajectory_times(sys.dt, sys.n_steps, 200)
+        assert ts.shape == (201,)
+        assert float(ts[160]) == pytest.approx(8.0, rel=1e-5)
+        assert float(ts[161]) > 1e20
+
+    def test_wave_program_lowering(self):
+        prog = parse_fem_program(WAVE_PROGRAM)
+        sys = problem_from_program(prog, max_steps=800)
+        assert sys.a_d.shape == (40, 40)
+        assert sys.n_out == 20
+        assert int(sys.n_steps) == 777
+        # rollout stays finite
+        traj = rollout_trajectory(
+            sys.a_d, sys.b_d, sys.c_d, sys.x0,
+            jnp.full((800,), float(sys.u_scale)), sys.g0, sys.n_out,
+        )
+        assert bool(jnp.all(jnp.isfinite(traj)))
+
+    def test_compliance(self):
+        xpart = jnp.asarray([0.0, 1.0, 2.0])
+        e_e = jnp.asarray([2.0, 4.0])
+        assert float(static_compliance(xpart, e_e)) == pytest.approx(0.75)
