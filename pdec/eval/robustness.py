@@ -1,0 +1,149 @@
+"""Robustness evaluation of generated programs — the Gurobi bridge, replaced.
+
+Reference contract (``eval_robustness_wrapper.py:13-21``, reached via a
+``conda run -n pdecontrol`` subprocess per example, ``eval_script.py:43-79``):
+
+    eval_robustness(nl, code) -> (robustness, runtime)
+
+i.e. parse/execute the coder-dialect program, synthesize the optimal
+boundary control for its STL spec (Gurobi MILP), return the achieved
+robustness and solver runtime.
+
+Here the same contract is served in-process: safe parse
+(`pdec.stl.program`), lowering (`pdec.physics.problem`), gradient synthesis
+(`pdec.control.synthesis`).  The batched entry groups programs by problem
+family (kind, mesh size, horizon bucket) and runs each family as ONE
+device dispatch — thousands of MILP-equivalents per second instead of one
+300-second CPU solve at a time (``simulate_gt.py:62-69``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdec.control.synthesis import (
+    SynthesisConfig,
+    evaluate_controls,
+    synthesize_batch,
+)
+from pdec.physics.problem import problem_from_program, stack_systems
+from pdec.stl.ast import compile_spec, stack_specs
+from pdec.stl.program import FemProgram, parse_fem_program
+
+Scalar = Union[float, str]
+
+_FAILED = "failed"
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# Module-level jits: compiled once per (family shape, config) and reused
+# across eval_robustness_batch calls.
+_synthesize_jit = jax.jit(
+    synthesize_batch, static_argnames=("max_steps", "config")
+)
+_score_jit = jax.jit(
+    jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None)),
+    static_argnums=(4,),
+)
+
+
+def eval_robustness_batch(
+    codes: Sequence[str],
+    key: Optional[jax.Array] = None,
+    config: SynthesisConfig = SynthesisConfig(),
+    gt_formulas=None,
+) -> List[Tuple[Scalar, Scalar]]:
+    """Synthesize + score a batch of coder-dialect programs.
+
+    Returns per-program ``(robustness, runtime_seconds)``; unparseable
+    programs get ``("failed", "failed")`` (reference failure sentinel).
+
+    ``gt_formulas``: optional per-program ground-truth `Formula` (parsed
+    from the NL); when given, the control is synthesized on the *program's*
+    spec but scored on the ground truth — the utility definition used for
+    DPO scoring (reference two-stage evaluation).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    parsed: List[Optional[FemProgram]] = []
+    for code in codes:
+        try:
+            parsed.append(parse_fem_program(code))
+        except Exception:
+            parsed.append(None)
+
+    results: List[Tuple[Scalar, Scalar]] = [(_FAILED, _FAILED)] * len(codes)
+
+    # Group by family: (kind, n_elements, horizon bucket).
+    groups = {}
+    for i, prog in enumerate(parsed):
+        if prog is None:
+            continue
+        n_steps = int(round(prog.t_final / prog.dt))
+        bucket = _round_up(max(n_steps, 1), 64)
+        groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(i)
+
+    for (kind, n_el, bucket), idxs in groups.items():
+        t_start = time.perf_counter()
+        systems = []
+        specs = []
+        score_specs = []
+        ok_idxs = []
+        for i in idxs:
+            prog = parsed[i]
+            try:
+                sys_i = problem_from_program(prog, max_steps=bucket)
+                spec = compile_spec(prog.formula)
+                if gt_formulas is not None and gt_formulas[i] is not None:
+                    score_spec = compile_spec(gt_formulas[i])
+                else:
+                    score_spec = spec
+            except Exception:
+                continue
+            systems.append(sys_i)
+            specs.append(spec)
+            score_specs.append(score_spec)
+            ok_idxs.append(i)
+        if not systems:
+            continue
+
+        stacked = stack_systems(systems)
+        cl, pr = stack_specs(specs)
+        res = _synthesize_jit(
+            stacked, jnp.asarray(cl), jnp.asarray(pr), key, max_steps=bucket,
+            config=config,
+        )
+
+        if gt_formulas is not None:
+            # Re-score the synthesized controls against the GT spec.
+            cl_s, pr_s = stack_specs(score_specs)
+            scores = _score_jit(
+                stacked, res.controls, jnp.asarray(cl_s), jnp.asarray(pr_s), bucket
+            )
+        else:
+            scores = res.robustness
+
+        elapsed = time.perf_counter() - t_start
+        per_item = elapsed / max(len(ok_idxs), 1)
+        for j, i in enumerate(ok_idxs):
+            results[i] = (float(scores[j]), per_item)
+
+    return results
+
+
+def eval_robustness_program(
+    code: str,
+    key: Optional[jax.Array] = None,
+    config: SynthesisConfig = SynthesisConfig(),
+) -> Tuple[Scalar, Scalar]:
+    """Single-program form of the reference ``eval_robustness`` contract."""
+    return eval_robustness_batch([code], key=key, config=config)[0]

@@ -13,8 +13,7 @@ SURVEY.md §0.1; this documented scaling is our equivalent).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct as struct
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,10 +25,12 @@ KIND_HEAT = 0
 KIND_WAVE = 1
 
 
-class DiscreteSystem(NamedTuple):
+@struct.dataclass
+class DiscreteSystem:
     """Discrete-time LTI rod system plus output/bookkeeping metadata.
 
-    All fields are arrays (batchable leaves); ``n_out`` is static Python.
+    Array fields are pytree leaves (batchable under vmap/pjit); ``n_out``
+    is static metadata (it fixes output shapes inside jit).
     """
 
     a_d: jnp.ndarray  # [S, S]
@@ -41,7 +42,7 @@ class DiscreteSystem(NamedTuple):
     dt: jnp.ndarray  # scalar fine step
     n_steps: jnp.ndarray  # scalar int: valid steps (<= controls length)
     u_scale: jnp.ndarray  # scalar control bound (|u| <= u_scale)
-    n_out: int = 0  # static: displacement output dim (N free nodes)
+    n_out: int = struct.field(pytree_node=False, default=0)
 
 
 def build_system(
@@ -125,6 +126,16 @@ def problem_from_program(
         u_scale=u_scale.astype(dtype),
         n_out=n,
     )
+
+
+def stack_systems(systems) -> DiscreteSystem:
+    """Stack same-family `DiscreteSystem`s into leading-batch-dim arrays."""
+    n_out = systems[0].n_out
+    if any(s.n_out != n_out for s in systems):
+        raise ValueError("cannot stack systems with different n_out")
+    fields = ("a_d", "b_d", "c_d", "x0", "g0", "xs", "dt", "n_steps", "u_scale")
+    leaves = {f: jnp.stack([getattr(s, f) for s in systems]) for f in fields}
+    return DiscreteSystem(n_out=n_out, **leaves)
 
 
 _FAR_FUTURE = 1e30

@@ -32,7 +32,14 @@ def rollout_states(a_d, b_d, c_d, x0, controls):
     """
 
     def step(x, u):
-        x_next = a_d @ x + b_d * u + c_d
+        # HIGHEST precision: the iterated propagator accumulates rounding
+        # error over hundreds of steps, and robustness margins are compared
+        # at 1e-2 — default bf16 MXU passes are not acceptable here.
+        x_next = (
+            jnp.dot(a_d, x, precision=jax.lax.Precision.HIGHEST)
+            + b_d * u
+            + c_d
+        )
         return x_next, x_next
 
     _, xs = jax.lax.scan(step, x0, controls)

@@ -177,8 +177,10 @@ def split_sstl_structure(
             group: list = [idx]
             stack[-1].append(group)
             stack.append(group)
-        else:
-            stack[-1].append(idx)
+        # Other prefixes (e.g. ``\\mathbf{G}``) are collected as clause text
+        # but omitted from the tree — matching the reference's structural
+        # pass (``eval_script.py:308-313``), which later rejects them in the
+        # clause regex anyway.
         new_balance = balance + part.count("(") - part.count(")")
         if new_balance < balance:
             for _ in range(balance - new_balance):

@@ -7,7 +7,8 @@ dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (the session env pins JAX_PLATFORMS to the TPU tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
