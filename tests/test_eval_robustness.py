@@ -51,5 +51,6 @@ def test_mixed_batch():
     )
     assert out[1] == ("failed", "failed")
     assert isinstance(out[0][0], float) and isinstance(out[2][0], float)
-    # same program, same key -> identical scores
-    assert out[0][0] == out[2][0]
+    # same program, different per-item restart keys -> scores agree within
+    # multi-start optimization noise
+    assert abs(out[0][0] - out[2][0]) < 0.5
