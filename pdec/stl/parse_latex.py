@@ -92,6 +92,51 @@ def _safe_eval_arith(node: ast.AST, x: float) -> float:
     raise SSTLParseError(f"unsupported expression node: {ast.dump(node)}")
 
 
+def linear_coeffs(node: ast.AST) -> Tuple[float, float]:
+    """Symbolically evaluate an AST as a linear form ``m*x + b``.
+
+    Exact (no catastrophic cancellation from numeric probing) and rejects
+    nonlinear expressions structurally.
+    """
+    if isinstance(node, ast.Expression):
+        return linear_coeffs(node.body)
+    if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        return 0.0, float(node.value)
+    if isinstance(node, ast.Name) and node.id == "x":
+        return 1.0, 0.0
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.UAdd, ast.USub)):
+        m, b = linear_coeffs(node.operand)
+        return (m, b) if isinstance(node.op, ast.UAdd) else (-m, -b)
+    if isinstance(node, ast.BinOp):
+        if isinstance(node.op, (ast.Add, ast.Sub)):
+            m1, b1 = linear_coeffs(node.left)
+            m2, b2 = linear_coeffs(node.right)
+            if isinstance(node.op, ast.Add):
+                return m1 + m2, b1 + b2
+            return m1 - m2, b1 - b2
+        if isinstance(node.op, ast.Mult):
+            m1, b1 = linear_coeffs(node.left)
+            m2, b2 = linear_coeffs(node.right)
+            if m1 == 0.0:
+                return b1 * m2, b1 * b2
+            if m2 == 0.0:
+                return m1 * b2, b1 * b2
+            raise SSTLParseError("nonlinear product in expression")
+        if isinstance(node.op, ast.Div):
+            m1, b1 = linear_coeffs(node.left)
+            m2, b2 = linear_coeffs(node.right)
+            if m2 != 0.0 or b2 == 0.0:
+                raise SSTLParseError("division by non-constant in expression")
+            return m1 / b2, b1 / b2
+        if isinstance(node.op, ast.Pow):
+            m1, b1 = linear_coeffs(node.left)
+            m2, b2 = linear_coeffs(node.right)
+            if m1 == 0.0 and m2 == 0.0:
+                return 0.0, b1**b2
+            raise SSTLParseError("nonlinear power in expression")
+    raise SSTLParseError(f"unsupported expression node: {ast.dump(node)}")
+
+
 def eval_linear_expression(expr: str) -> Tuple[float, float]:
     """Extract (m, b) from a linear-in-x arithmetic expression string."""
     cleaned = _clean_expression(expr)
@@ -99,14 +144,7 @@ def eval_linear_expression(expr: str) -> Tuple[float, float]:
         tree = ast.parse(cleaned, mode="eval")
     except SyntaxError as e:
         raise SSTLParseError(f"cannot parse expression {expr!r}") from e
-    b = _safe_eval_arith(tree, 0.0)
-    m_plus_b = _safe_eval_arith(tree, 1.0)
-    m = m_plus_b - b
-    # Verify linearity at a third point.
-    v2 = _safe_eval_arith(tree, 2.0)
-    if abs(v2 - (2.0 * m + b)) > 1e-6 * max(1.0, abs(v2)):
-        raise SSTLParseError(f"expression {expr!r} is not linear in x")
-    return m, b
+    return linear_coeffs(tree)
 
 
 def parse_clause_latex(text: str) -> Clause:

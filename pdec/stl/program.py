@@ -34,7 +34,7 @@ from typing import Dict, Optional, Tuple
 
 from pdec.stl.ast import Formula
 from pdec.stl.parse_cspec import APCont, format_cspec, parse_cspec
-from pdec.stl.parse_latex import _safe_eval_arith
+from pdec.stl.parse_latex import _safe_eval_arith, linear_coeffs
 
 
 class FemProgramParseError(ValueError):
@@ -129,9 +129,7 @@ def _parse_linear_lambda(node: ast.AST) -> Tuple[float, float]:
     """(m, b) from ``lambda x: m * x + b`` (any linear arithmetic form)."""
     if not isinstance(node, ast.Lambda):
         raise FemProgramParseError("profile must be a lambda")
-    b = _safe_eval_arith(node.body, 0.0)
-    m = _safe_eval_arith(node.body, 1.0) - b
-    return m, b
+    return linear_coeffs(node.body)
 
 
 def _parse_apcont(call: ast.Call) -> APCont:
