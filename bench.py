@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: STL-constrained control solves/sec on TPU.
+
+Baseline being replaced: the reference solves ONE problem per Gurobi MILP
+call on CPU with a 300 s timeout budget and a process pool at 50% of cores
+(reference ``simulate_gt.py:62-69``).  North star (BASELINE.md): >=10,000
+solves/sec on a v5e-8.  This benchmark runs on whatever chips are visible
+(one chip under the driver) and scales the per-chip number in
+``vs_baseline`` against a per-chip share of the target (10k / 8 chips).
+
+A "solve" = one full control synthesis: multi-start, temperature-annealed
+gradient ascent on smooth robustness over the FEM rollout, returning the
+best hard robustness (the MILP-equivalent unit of work).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": R}
+"""
+
+import json
+import random
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_batch(n_problems: int, max_steps: int, seed: int = 0):
+    from pdec.data.generator import GeneratorConfig, sample_problem
+    from pdec.physics.problem import problem_from_program, stack_systems
+    from pdec.stl.ast import compile_spec, stack_specs
+
+    rng = random.Random(seed)
+    systems, specs = [], []
+    while len(systems) < n_problems:
+        nc = rng.choice([1, 2, 3])
+        ex = sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=nc))
+        n_steps = int(round(ex.program.t_final / ex.program.dt))
+        if n_steps > max_steps:
+            continue
+        systems.append(problem_from_program(ex.program, max_steps=max_steps))
+        # corpus formulas have <= 3 clauses; tight padding halves the
+        # clause-evaluation work in the synthesis hot loop
+        specs.append(compile_spec(ex.formula, max_clauses=4, max_prog=8))
+    stacked = stack_systems(systems)
+    cl, pr = stack_specs(specs)
+    return stacked, jnp.asarray(cl), jnp.asarray(pr)
+
+
+def main():
+    from pdec.control.synthesis import SynthesisConfig, synthesize_batch
+
+    n_problems = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    max_steps = 320  # heat family horizon bucket (T <= 16 s at dt = 0.05)
+    config = SynthesisConfig(n_iters=60, n_starts=8)
+
+    systems, cl, pr = build_batch(n_problems, max_steps)
+    key = jax.random.PRNGKey(0)
+
+    synth = jax.jit(synthesize_batch, static_argnames=("max_steps", "config"))
+
+    # Warmup / compile.  np.asarray forces a device->host transfer, which is
+    # a reliable completion barrier on every platform (block_until_ready has
+    # been observed lying under tunneled/experimental PJRT plugins).
+    res = synth(systems, cl, pr, key, max_steps=max_steps, config=config)
+    _ = np.asarray(res.robustness)
+
+    times = []
+    for i in range(3):
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        res = synth(systems, cl, pr, k, max_steps=max_steps, config=config)
+        _ = np.asarray(res.robustness)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    solves_per_sec = n_problems / best
+    n_chips = max(jax.device_count(), 1)
+    per_chip_target = 10_000.0 / 8.0  # north star is quoted for v5e-8
+    vs_baseline = (solves_per_sec / n_chips) / per_chip_target
+
+    feasible = float(jnp.mean((res.robustness > 0).astype(jnp.float32)))
+    print(
+        json.dumps(
+            {
+                "metric": "stl_control_solves_per_sec",
+                "value": round(solves_per_sec, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+    # Diagnostics on stderr (driver parses stdout).
+    print(
+        f"# n={n_problems} chips={n_chips} best={best:.3f}s "
+        f"times={[round(t, 3) for t in times]} feasible_rate={feasible:.3f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

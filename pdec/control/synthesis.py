@@ -2,13 +2,17 @@
 
 Pipeline per problem:
 
-1. parameterize the boundary input as ``n_knots`` free values, linearly
-   interpolated onto the fine time grid and squashed into the problem's
-   control authority ``|u| <= u_scale`` by tanh,
+1. parameterize the boundary input as one free value per *chunk* of
+   ``chunk`` fine steps (piecewise-constant control, tanh-squashed into the
+   problem's authority ``|u| <= u_scale``); the chunk is also the rollout
+   blocking unit — `pdec.physics.rollout.precompute_chunk_operators`
+   compounds the propagator so each scan step emits a whole chunk of states
+   with one MXU-sized GEMM,
 2. maximize smooth robustness with Adam while annealing the logsumexp
    temperature (coarse -> sharp),
 3. run ``n_starts`` random restarts batched under ``vmap`` (disjunction
-   coverage), pick the control with the best *hard* robustness.
+   coverage — the role of integer branching in the reference's Gurobi
+   MILP), pick the control with the best *hard* robustness.
 
 All loops are ``lax.scan``; the whole synthesis is one jitted function of
 fixed-shape arrays, so a full eval dataset runs as a single ``vmap``/pjit
@@ -23,14 +27,18 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from pdec.control.fused import fused_smooth_robustness, make_clause_tables
 from pdec.physics.problem import DiscreteSystem, trajectory_times
-from pdec.physics.rollout import rollout_trajectory
+from pdec.physics.rollout import (
+    precompute_chunk_operators,
+    rollout_trajectory_chunked,
+)
 from pdec.stl.semantics import robustness, smooth_robustness
 
 
 class SynthesisConfig(NamedTuple):
-    n_knots: int = 16
-    n_iters: int = 80
+    chunk: int = 16  # fine steps per control knot; must divide max_steps
+    n_iters: int = 60
     n_starts: int = 8
     lr: float = 0.15
     tau_start: float = 0.2  # in units of field_scale
@@ -40,32 +48,22 @@ class SynthesisConfig(NamedTuple):
 
 class SynthesisResult(NamedTuple):
     robustness: jnp.ndarray  # scalar: best hard robustness
-    controls: jnp.ndarray  # [max_steps] best fine-grid control
-    knots: jnp.ndarray  # [n_knots] best pre-squash knot values
+    controls: jnp.ndarray  # [n_chunks] best chunk-level control (post-tanh)
+    knots: jnp.ndarray  # [n_chunks] best pre-squash knot values
     start_robustness: jnp.ndarray  # [n_starts] per-start hard robustness
 
 
-def knots_to_controls(theta, system: DiscreteSystem, max_steps: int):
-    """tanh-squashed knots -> piecewise-linear fine-grid control [max_steps]."""
-    n_knots = theta.shape[0]
-    horizon = system.n_steps.astype(jnp.float32) * system.dt
-    knot_times = jnp.linspace(0.0, 1.0, n_knots) * horizon
-    step_times = (jnp.arange(max_steps, dtype=jnp.float32) + 0.5) * system.dt
-    u = jnp.interp(step_times, knot_times, theta)
-    return system.u_scale * jnp.tanh(u)
+def _chunk_ops(system: DiscreteSystem, chunk: int):
+    return precompute_chunk_operators(system.a_d, system.b_d, system.c_d, chunk)
 
 
-def _rollout(system: DiscreteSystem, controls, max_steps: int):
-    return rollout_trajectory(
-        system.a_d, system.b_d, system.c_d, system.x0, controls,
-        system.g0, system.n_out,
+def evaluate_controls(system: DiscreteSystem, chunk_controls, clauses, program,
+                      max_steps: int, chunk: int = 16):
+    """Hard robustness of a given chunk-level control sequence."""
+    ops = _chunk_ops(system, chunk)
+    traj = rollout_trajectory_chunked(
+        *ops, system.x0, chunk_controls, system.g0, system.n_out
     )
-
-
-def evaluate_controls(system: DiscreteSystem, controls, clauses, program,
-                      max_steps: int):
-    """Hard robustness of a given fine-grid control sequence."""
-    traj = _rollout(system, controls, max_steps)
     ts = trajectory_times(system.dt, system.n_steps, max_steps)
     return robustness(traj, ts, system.xs, clauses, program)
 
@@ -92,17 +90,29 @@ def synthesize(
 ) -> SynthesisResult:
     """Synthesize the robustness-maximizing boundary control for one problem."""
     cfg = config
+    if max_steps % cfg.chunk != 0:
+        raise ValueError(f"max_steps {max_steps} not divisible by chunk {cfg.chunk}")
+    n_chunks = max_steps // cfg.chunk
+
     ts = trajectory_times(system.dt, system.n_steps, max_steps)
     scale = _field_scale(clauses)
+    ops = _chunk_ops(system, cfg.chunk)
+    tables = make_clause_tables(clauses, system.xs)
 
     taus = scale * jnp.exp(
         jnp.linspace(jnp.log(cfg.tau_start), jnp.log(cfg.tau_end), cfg.n_iters)
     )
 
+    def to_controls(theta):
+        return system.u_scale * jnp.tanh(theta)
+
     def objective(theta, tau):
-        controls = knots_to_controls(theta, system, max_steps)
-        traj = _rollout(system, controls, max_steps)
-        return -smooth_robustness(traj, ts, system.xs, clauses, program, tau)
+        # streamed rollout+robustness (see pdec.control.fused): no T-sized
+        # intermediate ever reaches HBM
+        return -fused_smooth_robustness(
+            *ops, system.x0, system.g0, system.n_out, to_controls(theta),
+            tables, program, system.dt, system.n_steps, tau,
+        )
 
     optimizer = optax.adam(cfg.lr)
 
@@ -117,12 +127,15 @@ def synthesize(
             return (theta, opt_state), None
 
         (theta, _), _ = jax.lax.scan(opt_step, (theta0, opt_state), taus)
-        controls = knots_to_controls(theta, system, max_steps)
-        hard = evaluate_controls(system, controls, clauses, program, max_steps)
+        controls = to_controls(theta)
+        traj = rollout_trajectory_chunked(
+            *ops, system.x0, controls, system.g0, system.n_out
+        )
+        hard = robustness(traj, ts, system.xs, clauses, program)
         return hard, controls, theta
 
     # start 0 = zero control; the rest random in tanh-space
-    init = jax.random.normal(key, (cfg.n_starts, cfg.n_knots)) * cfg.init_scale
+    init = jax.random.normal(key, (cfg.n_starts, n_chunks)) * cfg.init_scale
     init = init.at[0].set(0.0)
 
     hard, controls, thetas = jax.vmap(run_one_start)(init)

@@ -50,8 +50,8 @@ _synthesize_jit = jax.jit(
     synthesize_batch, static_argnames=("max_steps", "config")
 )
 _score_jit = jax.jit(
-    jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None)),
-    static_argnums=(4,),
+    jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
+    static_argnums=(4, 5),
 )
 
 
@@ -89,7 +89,7 @@ def eval_robustness_batch(
         if prog is None:
             continue
         n_steps = int(round(prog.t_final / prog.dt))
-        bucket = _round_up(max(n_steps, 1), 64)
+        bucket = _round_up(_round_up(max(n_steps, 1), 64), config.chunk)
         groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(i)
 
     for (kind, n_el, bucket), idxs in groups.items():
@@ -127,7 +127,8 @@ def eval_robustness_batch(
             # Re-score the synthesized controls against the GT spec.
             cl_s, pr_s = stack_specs(score_specs)
             scores = _score_jit(
-                stacked, res.controls, jnp.asarray(cl_s), jnp.asarray(pr_s), bucket
+                stacked, res.controls, jnp.asarray(cl_s), jnp.asarray(pr_s),
+                bucket, config.chunk,
             )
         else:
             scores = res.robustness

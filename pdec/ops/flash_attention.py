@@ -1,0 +1,126 @@
+"""Causal flash attention as a Pallas TPU kernel.
+
+Replaces flash-attn-2 (reference ``environment.sh:15``).  Standard
+online-softmax tiling:
+
+- grid over (batch*q_heads, q_blocks); the kv loop runs inside the kernel
+  so the running max/denominator stay in VMEM registers,
+- causal block skipping: kv blocks entirely above the diagonal are never
+  read (the index map still touches them, but the loop predicate skips the
+  FLOPs),
+- fp32 accumulation on the MXU via ``preferred_element_type``; GQA handled
+  by mapping each q head to its kv head in the index map.
+
+Forward-only fused kernel; the backward pass runs through the jnp reference
+via ``jax.custom_vjp`` residual recomputation (flash backward kernel is a
+planned optimization — training compute is dominated by the MLP matmuls at
+these sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pdec.ops.attention import attention_reference
+
+DEFAULT_Q_BLOCK = 256
+DEFAULT_KV_BLOCK = 256
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float):
+    # refs carry a leading singleton (batch*head) block axis
+    qb = q_ref.shape[1]
+    head_dim = q_ref.shape[2]
+    q_block_idx = pl.program_id(1)
+    q_start = q_block_idx * qb
+
+    q = q_ref[0, :, :].astype(jnp.float32) * scale
+
+    n_kv = k_ref.shape[1]
+    n_kv_blocks = pl.cdiv(n_kv, kv_block)
+    # causal: kv blocks with start > q_end contribute nothing
+    q_end = q_start + qb - 1
+    max_block = jnp.minimum(n_kv_blocks, pl.cdiv(q_end + 1, kv_block))
+
+    def body(kv_idx, carry):
+        acc, m_prev, l_prev = carry
+        kv_start = kv_idx * kv_block
+        k = k_ref[0, pl.ds(kv_start, kv_block), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kv_start, kv_block), :].astype(jnp.float32)
+
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+
+        q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_block), 0)
+        kv_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_block), 1)
+        logits = jnp.where(kv_pos <= q_idx, logits, -1e30)
+
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((qb, head_dim), jnp.float32)
+    m0 = jnp.full((qb, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((qb, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, max_block, body, (acc0, m0, l0))
+    o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, q_block: int, kv_block: int):
+    b, tq, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+
+    # layout: fold (batch, head) into the grid's first axis
+    qt = q.transpose(0, 2, 1, 3).reshape(b * hq, tq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * hkv, k.shape[1], d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * hkv, v.shape[1], d)
+
+    grid = (b * hq, pl.cdiv(tq, q_block))
+    scale = 1.0 / (d**0.5)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, kv_block=kv_block, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt.shape[1], d), lambda h, i: (h // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vt.shape[1], d), lambda h, i: (h // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d), lambda h, i: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+    )(qt, kt, vt)
+    return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(q, k, v, causal: bool = True,
+                    q_block: int = DEFAULT_Q_BLOCK,
+                    kv_block: int = DEFAULT_KV_BLOCK):
+    assert causal, "only the causal path is fused"
+    return _flash_forward(q, k, v, q_block, kv_block)
+
+
+def _fwd(q, k, v, causal, q_block, kv_block):
+    return _flash_forward(q, k, v, q_block, kv_block), (q, k, v)
+
+
+def _bwd(causal, q_block, kv_block, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, causal=True),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

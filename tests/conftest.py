@@ -7,7 +7,9 @@ dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
 
 import os
 
-# Hard-set (the session env pins JAX_PLATFORMS to the TPU tunnel).
+# Hard-set (the session env pins JAX_PLATFORMS to the TPU tunnel).  NOTE:
+# the env var alone is NOT honored once the axon PJRT plugin registers, so
+# the jax.config update below is the one that actually takes effect.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -21,3 +23,7 @@ _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_cache_dir))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402  (must import after the env staging above)
+
+jax.config.update("jax_platforms", "cpu")

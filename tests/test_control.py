@@ -18,8 +18,10 @@ from pdec.physics.heat import build_heat_system
 from pdec.physics.problem import DiscreteSystem, stack_systems
 from pdec.stl.ast import Clause, compile_spec, stack_specs
 
-MAX_STEPS = 100
-CFG = SynthesisConfig(n_knots=8, n_iters=40, n_starts=4, lr=0.2)
+MAX_STEPS = 96
+CHUNK = 16
+N_CHUNKS = MAX_STEPS // CHUNK
+CFG = SynthesisConfig(chunk=CHUNK, n_iters=40, n_starts=4, lr=0.2)
 
 
 def small_heat_system(n=8, length=1.0, g0=0.0, dt=0.05, alpha=1.0, u_scale=4.0):
@@ -47,12 +49,12 @@ def test_heat_reachability():
         Clause.make("G", (3.0, 5.0), (0.5, 1.0), 0.0, 1.0, ">")
     )
     cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
-    zero_rho = evaluate_controls(sys, jnp.zeros((MAX_STEPS,)), cl, pr, MAX_STEPS)
+    zero_rho = evaluate_controls(sys, jnp.zeros((N_CHUNKS,)), cl, pr, MAX_STEPS, CHUNK)
     assert float(zero_rho) < 0  # unreachable without control
     res = _synth(sys, cl, pr, jax.random.PRNGKey(0), MAX_STEPS, CFG)
     assert float(res.robustness) > 0.3
     # result is self-consistent: re-evaluating the controls matches
-    re_rho = evaluate_controls(sys, res.controls, cl, pr, MAX_STEPS)
+    re_rho = evaluate_controls(sys, res.controls, cl, pr, MAX_STEPS, CHUNK)
     assert float(re_rho) == pytest.approx(float(res.robustness), abs=1e-5)
 
 
@@ -69,7 +71,7 @@ def test_beats_constant_control_grid():
     grid = jnp.linspace(-4.0, 4.0, 81)
     const_rhos = jax.vmap(
         lambda u: evaluate_controls(
-            sys, jnp.full((MAX_STEPS,), u), cl, pr, MAX_STEPS
+            sys, jnp.full((N_CHUNKS,), u), cl, pr, MAX_STEPS, CHUNK
         )
     )(grid)
     best_const = float(jnp.max(const_rhos))

@@ -7,7 +7,7 @@ from pdec.eval.robustness import eval_robustness_batch, eval_robustness_program
 
 from tests.test_stl_parse import HEAT_PROGRAM
 
-FAST = SynthesisConfig(n_knots=8, n_iters=20, n_starts=2)
+FAST = SynthesisConfig(n_iters=20, n_starts=2)
 
 
 def test_program_scoring_end_to_end():
@@ -31,7 +31,7 @@ def test_program_scoring_end_to_end():
     sys_ = problem_from_program(prog, max_steps=192)
     spec = compile_spec(prog.formula)
     zero = evaluate_controls(
-        sys_, jnp.zeros((192,)), jnp.asarray(spec.clauses),
+        sys_, jnp.zeros((192 // 16,)), jnp.asarray(spec.clauses),
         jnp.asarray(spec.program), 192,
     )
     assert rho >= float(zero) - 1e-3
