@@ -1,0 +1,208 @@
+"""Prefill + decode generation engine.
+
+Batched, jitted, shape-bucketed.  One compiled prefill per (batch_bucket,
+len_bucket) and one compiled decode step per batch_bucket; eval sweeps
+(512 examples x formats x shots, reference ``test_pdecontrol.sh:55-99``)
+reuse the same executables throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdec.models.config import ModelConfig
+from pdec.models.transformer import forward, init_kv_cache
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 512
+    temperature: float = 0.0  # 0 => greedy
+    top_p: float = 1.0
+    stop: tuple = ("\n### Instruction:", "### Instruction:")
+    seed: int = 0
+    logprobs: bool = True
+
+
+@dataclasses.dataclass
+class Generation:
+    text: str
+    token_ids: List[int]
+    logprobs: Optional[List[float]]
+    finish_reason: str  # 'stop' | 'eos' | 'length'
+
+
+def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+def _len_bucket(n: int, step: int = 256) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def _sample(logits, key, temperature, top_p):
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+    if temperature == 0.0:
+        return greedy, jax.nn.log_softmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        scaled = jnp.where(scaled < cutoff, -1e30, scaled)
+    sampled = jax.random.categorical(key, scaled, axis=-1)
+    return sampled, jax.nn.log_softmax(logits, axis=-1)
+
+
+class InferenceEngine:
+    """Holds (params, config, tokenizer) and serves batched generation."""
+
+    def __init__(self, params, model_cfg: ModelConfig, tokenizer,
+                 lora=None, max_len: Optional[int] = None):
+        self.params = params
+        self.cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.lora = lora
+        self.max_len = max_len or model_cfg.max_seq
+
+        cfg = model_cfg
+
+        @functools.partial(jax.jit, static_argnames=("max_len",))
+        def prefill(params, lora, tokens, valid, max_len):
+            cache = init_kv_cache(cfg, tokens.shape[0], max_len)
+            logits, cache = forward(
+                params, tokens, cfg, kv_cache=cache, attn_mask=valid, lora=lora
+            )
+            # logits at each sequence's last valid position
+            last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
+            last_logits = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1
+            )[:, 0]
+            # correct per-seq cache length (masked writes counted)
+            cache = dict(cache)
+            cache["length"] = jnp.sum(valid, axis=1).astype(jnp.int32)
+            return last_logits, cache
+
+        @functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
+        def decode_step(params, lora, cache, prev_token, key, temperature, top_p):
+            logits, cache = forward(
+                params, prev_token[:, None], cfg, kv_cache=cache, lora=lora
+            )
+            tok, logprobs = _sample(logits[:, 0], key, temperature, top_p)
+            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=-1)[:, 0]
+            return cache, tok, lp
+
+        self._prefill = prefill
+        self._decode_step = decode_step
+
+    def generate(
+        self, prompts: Sequence[str], gen: GenerationConfig = GenerationConfig()
+    ) -> List[Generation]:
+        tok = self.tokenizer
+        encoded = [tok.encode(p) for p in prompts]
+        n = len(encoded)
+        bsz = _bucket(n)
+        max_prompt = max(len(e) for e in encoded)
+        t_pad = min(_len_bucket(max_prompt), self.max_len)
+        total_len = min(
+            _len_bucket(t_pad + gen.max_new_tokens), self.max_len + gen.max_new_tokens
+        )
+
+        tokens = np.zeros((bsz, t_pad), np.int32)
+        valid = np.zeros((bsz, t_pad), bool)
+        for i, e in enumerate(encoded):
+            e = e[-t_pad:]
+            tokens[i, : len(e)] = e
+            valid[i, : len(e)] = True
+        # padding rows (bucket slack) get a dummy token to keep shapes sane
+        for i in range(n, bsz):
+            valid[i, :1] = True
+
+        last_logits, cache = self._prefill(
+            self.params, self.lora, jnp.asarray(tokens), jnp.asarray(valid),
+            max_len=total_len,
+        )
+
+        key = jax.random.PRNGKey(gen.seed)
+        k0, key = jax.random.split(key)
+        first_tok, logprobs0 = _sample(
+            last_logits, k0, gen.temperature, gen.top_p
+        )
+        first_lp = jnp.take_along_axis(
+            logprobs0, first_tok[:, None], axis=-1
+        )[:, 0]
+
+        eos_id = tok.eos_token_id
+        out_tokens = [np.asarray(first_tok)]
+        out_lps = [np.asarray(first_lp)]
+        prev = first_tok
+        finished = np.asarray(first_tok) == eos_id
+
+        check_every = 16
+        texts_cache = [""] * bsz
+        for step in range(1, gen.max_new_tokens):
+            key, k = jax.random.split(key)
+            cache, prev, lp = self._decode_step(
+                self.params, self.lora, cache, prev, k,
+                gen.temperature, gen.top_p,
+            )
+            out_tokens.append(np.asarray(prev))
+            out_lps.append(np.asarray(lp))
+            if step % check_every == 0 or step == gen.max_new_tokens - 1:
+                arr = np.stack(out_tokens, axis=1)
+                finished = self._all_finished(arr, eos_id, gen.stop, n)
+                if finished:
+                    break
+
+        arr = np.stack(out_tokens, axis=1)  # [bsz, steps]
+        lps = np.stack(out_lps, axis=1)
+        return [
+            self._finalize(arr[i], lps[i], eos_id, gen)
+            for i in range(n)
+        ]
+
+    def _all_finished(self, arr, eos_id, stop, n) -> bool:
+        for i in range(n):
+            ids = arr[i].tolist()
+            if eos_id in ids:
+                continue
+            text = self.tokenizer.decode(ids)
+            if not any(s in text for s in stop):
+                return False
+        return True
+
+    def _finalize(self, ids, lps, eos_id, gen: GenerationConfig) -> Generation:
+        ids = ids.tolist()
+        finish = "length"
+        if eos_id in ids:
+            cut = ids.index(eos_id)
+            ids, lps = ids[:cut], lps[:cut]
+            finish = "eos"
+        text = self.tokenizer.decode(ids)
+        for s in gen.stop:
+            if s in text:
+                text = text.split(s)[0]
+                finish = "stop"
+        # logprobs for the kept prefix (stop-word tokens excluded, mirroring
+        # extract_logits_without_stop_words)
+        if finish == "stop":
+            kept_ids = self.tokenizer.encode(text)
+            lps = lps[: len(kept_ids)]
+        return Generation(
+            text=text,
+            token_ids=ids,
+            logprobs=[float(v) for v in np.asarray(lps).tolist()],
+            finish_reason=finish,
+        )

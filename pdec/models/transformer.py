@@ -179,9 +179,13 @@ def forward(
 
         if layer_cache is not None:
             ck, cv, lengths = layer_cache
-            # write current k/v at per-sequence offsets
+            # write current k/v at per-sequence offsets; right-padded
+            # invalid tokens (attn_mask == 0) are never written, so their
+            # cache slots stay zero until a decode token lands there
             idx = lengths[:, None] + jnp.arange(t)[None, :]  # [B, T]
             onehot = jax.nn.one_hot(idx, ck.shape[1], dtype=ck.dtype)  # [B,T,S]
+            if attn_mask is not None:
+                onehot = onehot * attn_mask[:, :, None].astype(onehot.dtype)
             ck = ck + jnp.einsum("bts,btkh->bskh", onehot, k)
             cv = cv + jnp.einsum("bts,btkh->bskh", onehot, v)
             attn_out = attention(

@@ -1,0 +1,67 @@
+"""Inference engine tests with a toy tokenizer and the TINY model."""
+
+import jax
+import numpy as np
+import pytest
+
+from pdec.infer.engine import Generation, GenerationConfig, InferenceEngine
+from pdec.models.config import TINY
+from pdec.models.transformer import init_params
+
+
+class ByteTokenizer:
+    """Toy byte-level tokenizer (ids = bytes, eos = 0)."""
+
+    eos_token_id = 0
+
+    def encode(self, text):
+        return [b % 256 for b in text.encode("utf-8")]
+
+    def decode(self, ids):
+        return bytes(int(i) % 256 for i in ids if i != 0).decode(
+            "utf-8", errors="ignore"
+        )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    return InferenceEngine(params, TINY, ByteTokenizer(), max_len=128)
+
+
+def test_greedy_generation_deterministic(engine):
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0)
+    out1 = engine.generate(["hello world"], gen)
+    out2 = engine.generate(["hello world"], gen)
+    assert isinstance(out1[0], Generation)
+    assert out1[0].token_ids == out2[0].token_ids
+    assert len(out1[0].token_ids) <= 8
+    assert len(out1[0].logprobs) == len(out1[0].token_ids)
+
+
+def test_batch_generation_matches_single(engine):
+    """Right-padding must not change a sequence's generation."""
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0)
+    prompts = ["short", "a considerably longer prompt than the first"]
+    batch = engine.generate(prompts, gen)
+    singles = [engine.generate([p], gen)[0] for p in prompts]
+    for b, s in zip(batch, singles):
+        assert b.token_ids == s.token_ids
+
+
+def test_sampling_respects_seed(engine):
+    gen1 = GenerationConfig(max_new_tokens=8, temperature=1.0, seed=1)
+    gen2 = GenerationConfig(max_new_tokens=8, temperature=1.0, seed=1)
+    gen3 = GenerationConfig(max_new_tokens=8, temperature=1.0, seed=2)
+    a = engine.generate(["abc"], gen1)[0]
+    b = engine.generate(["abc"], gen2)[0]
+    c = engine.generate(["abc"], gen3)[0]
+    assert a.token_ids == b.token_ids
+    # different seed will almost surely diverge within 8 tokens
+    assert a.token_ids != c.token_ids
+
+
+def test_max_tokens_respected(engine):
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0, stop=())
+    out = engine.generate(["xyz"], gen)[0]
+    assert len(out.token_ids) <= 4
