@@ -123,11 +123,31 @@ def fused_smooth_robustness(
     dt,
     n_steps,
     tau,
+    eval_stride: int = 1,
 ):
-    """Streamed smooth robustness of the controlled rollout."""
+    """Streamed smooth robustness of the controlled rollout.
+
+    ``eval_stride`` > 1 evaluates the objective on every stride-th fine
+    step only (the carry still advances exactly): a bandwidth/FLOP cut for
+    the optimizer's gradient signal.  The final *hard* robustness is always
+    evaluated at full resolution by the caller, so the returned control's
+    reported score is exact — stride affects only optimization quality.
+    """
     chunk, s, _ = p_stack.shape
+    if chunk % eval_stride != 0:
+        raise ValueError(f"chunk {chunk} not divisible by stride {eval_stride}")
     n_chunks = chunk_controls.shape[0]
     n_clauses = tables.mu.shape[0]
+    if eval_stride > 1:
+        # rows at offsets stride-1, 2*stride-1, ..., chunk-1; the last row
+        # is the chunk-end state, so the carry stays exact
+        sel = jnp.arange(eval_stride - 1, chunk, eval_stride)
+        p_stack = p_stack[sel]
+        qb = qb[sel]
+        qc = qc[sel]
+        dt = dt * eval_stride
+        n_steps = n_steps // eval_stride
+        chunk = chunk // eval_stride
     p_flat = p_stack.reshape(chunk * s, s)
 
     def field_of(states):

@@ -40,6 +40,7 @@ class SynthesisConfig(NamedTuple):
     chunk: int = 16  # fine steps per control knot; must divide max_steps
     n_iters: int = 60
     n_starts: int = 8
+    eval_stride: int = 4  # objective time subsampling (hard eval stays exact)
     lr: float = 0.15
     tau_start: float = 0.2  # in units of field_scale
     tau_end: float = 0.01
@@ -112,6 +113,7 @@ def synthesize(
         return -fused_smooth_robustness(
             *ops, system.x0, system.g0, system.n_out, to_controls(theta),
             tables, program, system.dt, system.n_steps, tau,
+            eval_stride=cfg.eval_stride,
         )
 
     optimizer = optax.adam(cfg.lr)
