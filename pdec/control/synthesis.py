@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pdec.control.fused import fused_smooth_robustness, make_clause_tables
 from pdec.physics.problem import DiscreteSystem, trajectory_times
 from pdec.physics.rollout import (
     precompute_chunk_operators,
@@ -98,7 +97,6 @@ def synthesize(
     ts = trajectory_times(system.dt, system.n_steps, max_steps)
     scale = _field_scale(clauses)
     ops = _chunk_ops(system, cfg.chunk)
-    tables = make_clause_tables(clauses, system.xs)
 
     taus = scale * jnp.exp(
         jnp.linspace(jnp.log(cfg.tau_start), jnp.log(cfg.tau_end), cfg.n_iters)
@@ -107,13 +105,22 @@ def synthesize(
     def to_controls(theta):
         return system.u_scale * jnp.tanh(theta)
 
+    # Objective: chunked rollout + smooth robustness on a time-strided view
+    # of the trajectory.  Measured on-device, this "wide" formulation (one
+    # big parallel reduction over [T/stride, X]) beats both the naive
+    # full-resolution objective and a carry-accumulator fused scan
+    # (pdec.control.fused) — TPU prefers few large parallel ops over many
+    # small sequential ones, including in the backward pass.  The final
+    # hard evaluation below is always full-resolution.
+    stride = cfg.eval_stride
+    ts_strided = ts[::stride]
+
     def objective(theta, tau):
-        # streamed rollout+robustness (see pdec.control.fused): no T-sized
-        # intermediate ever reaches HBM
-        return -fused_smooth_robustness(
-            *ops, system.x0, system.g0, system.n_out, to_controls(theta),
-            tables, program, system.dt, system.n_steps, tau,
-            eval_stride=cfg.eval_stride,
+        traj = rollout_trajectory_chunked(
+            *ops, system.x0, to_controls(theta), system.g0, system.n_out
+        )
+        return -smooth_robustness(
+            traj[::stride], ts_strided, system.xs, clauses, program, tau
         )
 
     optimizer = optax.adam(cfg.lr)

@@ -160,6 +160,10 @@ def format_test_prompt(format: str, nl: str, sstl: str = "",
         return alpaca(instruction, _with_sstl_input(nl, sstl), python, "python")
     if format == "dpo_test_sstl_to_python":
         return alpaca(instruction, _with_sstl_input(nl, sstl), python, "python")
+    if format == "dpo_train_nl_to_sstl":
+        # the controller is prompted with its training format at test time
+        # (reference FewShotDPO.format_prompt, few_shot_train_dpo.py:31-33)
+        return alpaca(instruction, nl, sstl, "latex")
     raise ValueError(f"unknown test format {format!r}")
 
 

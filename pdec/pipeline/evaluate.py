@@ -1,0 +1,374 @@
+"""Evaluation driver: the reconstructed ``run_1d_pdecontrol_eval_full``.
+
+The reference's main eval driver is absent from its snapshot; its contract
+is reconstructed from every caller (SURVEY.md §0.1: arg surface at
+``train/validate.py:28-64``, sweep wiring at
+``test/scripts/test_pdecontrol.sh:20-27``, output layout at
+``test/scripts/read_result.py:40-42``).  This driver:
+
+1. loads a test set (rows of ``{nl, sstl, python, robustness?, time?}``,
+   schema per ``simulate_gt.py:99-111``),
+2. builds few-shot prompts per eval method,
+3. generates with the pdec inference engine for each role
+   (translator / coder / controller),
+4. extracts answers, computes the metric families, and
+5. writes ``predictions.jsonl`` + ``metrics.json`` under
+   ``<out>/<dataset>_shots=N_seed=S/<eval_method>/``.
+
+Eval methods (``test_pdecontrol.sh:20-27``):
+  to_STL, to_python_no_STL, to_python_two_step,
+  to_python_direct_with_sstl_cot, to_python_given_STL,
+  full_pipeline, reasoning_only
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+
+from pdec.control.synthesis import SynthesisConfig
+from pdec.data.nl import parse_nl_problem
+from pdec.data.prompts import FewShotBank, STOP_WORDS
+from pdec.eval.extraction import (
+    extract_python_and_sstl,
+    extract_python_answer,
+    extract_sstl_answer,
+)
+from pdec.eval.iou import eval_iou
+from pdec.eval.metrics import eval_edit_distance, eval_perplexity, mean_and_std
+from pdec.eval.robustness import eval_robustness_batch
+from pdec.infer.engine import GenerationConfig
+
+METRIC_KEYS = [
+    "robustness accuracy",
+    "robustness mre",
+    "robustness failure rate",
+    "robustness timeout rate",
+    "simulation time mre",
+    "edit distance",
+    "iou",
+    "iou failures",
+    "iou timeout rate",
+    "perplexity",
+    "perplexity timeout rate",
+    "gt positive robustness rate",
+    "gt negative robustness rate",
+    "gt failed robustness rate",
+    "adjusted_failure_rate",
+]
+
+# eval method -> (role sequence)
+_METHODS = {
+    "to_STL": ("translator",),
+    "to_python_no_STL": ("coder",),
+    "to_python_two_step": ("translator", "coder"),
+    "to_python_direct_with_sstl_cot": ("coder",),
+    "to_python_given_STL": ("coder",),
+    "full_pipeline": ("translator", "controller", "coder"),
+    "reasoning_only": ("controller", "coder"),
+}
+
+
+@dataclasses.dataclass
+class EvalResult:
+    predictions: List[Dict]
+    metrics: Dict[str, float]
+    out_dir: Optional[str]
+
+
+def _is_correct(pred, ans, prec=1e-3) -> bool:
+    """Reference ``is_correct`` (``eval_script.py:25-30``)."""
+    if isinstance(pred, (int, float)) and isinstance(ans, (int, float)):
+        return math.isclose(pred, ans, rel_tol=prec)
+    if ans == "timeout":
+        return True
+    return pred == ans
+
+
+class EvalDriver:
+    def __init__(
+        self,
+        engines: Dict[str, object],  # role -> InferenceEngine-like
+        prompt_dataset: str = "combined",
+        bank_dir: Optional[str] = None,
+        synthesis: SynthesisConfig = SynthesisConfig(),
+        temperature: float = 0.2,
+        max_new_tokens: int = 1024,
+        n_repeat_sampling: int = 1,
+        eval_robustness: bool = True,
+        eval_iou: bool = True,
+        eval_edit_distance: bool = True,
+        eval_perplexity: bool = True,
+    ):
+        self.engines = engines
+        self.prompt_dataset = prompt_dataset
+        self.bank_dir = bank_dir
+        self.synthesis = synthesis
+        self.temperature = temperature
+        self.max_new_tokens = max_new_tokens
+        self.n_repeat_sampling = n_repeat_sampling
+        self.do_robustness = eval_robustness
+        self.do_iou = eval_iou
+        self.do_edit = eval_edit_distance
+        self.do_ppl = eval_perplexity
+
+    # -- generation helpers -------------------------------------------------
+
+    def _bank(self, format: str, shots: int, dpo: bool = False) -> FewShotBank:
+        dataset = self.prompt_dataset
+        if dpo:
+            dataset = f"DPO_{dataset}"
+        return FewShotBank(
+            format, num_shots=shots, dataset=dataset, bank_dir=self.bank_dir
+        )
+
+    def _generate(self, role: str, prompts: Sequence[str], seed: int):
+        gen = GenerationConfig(
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature,
+            stop=tuple(STOP_WORDS),
+            seed=seed,
+        )
+        return self.engines[role].generate(list(prompts), gen)
+
+    # -- the driver ---------------------------------------------------------
+
+    def run(
+        self,
+        items: Sequence[Dict],
+        eval_method: str,
+        shots: int = 0,
+        seed: int = 0,
+        dataset_name: str = "dataset",
+        out_dir: Optional[str] = None,
+        repeat_id_start: int = 0,
+    ) -> EvalResult:
+        if eval_method not in _METHODS:
+            raise ValueError(f"unknown eval method {eval_method!r}")
+        predictions: List[Dict] = []
+        for rep in range(self.n_repeat_sampling):
+            rep_seed = seed + repeat_id_start + rep
+            predictions.extend(
+                self._run_once(items, eval_method, shots, rep_seed, rep)
+            )
+        metrics = self._compute_metrics(items, predictions)
+        result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
+        if out_dir is not None:
+            run_dir = os.path.join(
+                out_dir, f"{dataset_name}_shots={shots}_seed={seed}", eval_method
+            )
+            os.makedirs(run_dir, exist_ok=True)
+            with open(os.path.join(run_dir, "predictions.jsonl"), "w") as f:
+                for p in predictions:
+                    f.write(json.dumps(p) + "\n")
+            with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=2)
+            result.out_dir = run_dir
+        return result
+
+    def _run_once(self, items, eval_method, shots, seed, repeat_id) -> List[Dict]:
+        nls = [it["nl"] for it in items]
+        preds: List[Dict] = [
+            {"nl": it["nl"], "repeat_id": repeat_id} for it in items
+        ]
+
+        def attach_logprobs(gens):
+            for p, g in zip(preds, gens):
+                p["logprobs"] = g.logprobs
+
+        if eval_method == "to_STL":
+            bank = self._bank("nl_to_sstl", shots)
+            gens = self._generate("translator", [bank.format_prompt(nl=n) for n in nls], seed)
+            for p, g in zip(preds, gens):
+                p["predicted_sstl"] = extract_sstl_answer(g.text)
+            attach_logprobs(gens)
+            return preds
+
+        if eval_method == "to_python_no_STL":
+            bank = self._bank("nl_to_python", shots)
+            gens = self._generate("coder", [bank.format_prompt(nl=n) for n in nls], seed)
+            for p, g in zip(preds, gens):
+                p["predicted_python"] = extract_python_answer(g.text)
+            attach_logprobs(gens)
+            return preds
+
+        if eval_method == "to_python_direct_with_sstl_cot":
+            bank = self._bank("test_nl_to_python_with_sstl_cot", shots)
+            gens = self._generate("coder", [bank.format_prompt(nl=n) for n in nls], seed)
+            for p, g in zip(preds, gens):
+                py, sstl = extract_python_and_sstl(g.text)
+                p["predicted_python"] = py
+                p["predicted_sstl"] = sstl
+            attach_logprobs(gens)
+            return preds
+
+        if eval_method in ("to_python_two_step", "to_python_given_STL"):
+            if eval_method == "to_python_two_step":
+                bank_t = self._bank("nl_to_sstl", shots)
+                gens_t = self._generate(
+                    "translator", [bank_t.format_prompt(nl=n) for n in nls], seed
+                )
+                sstls = [extract_sstl_answer(g.text) for g in gens_t]
+            else:
+                # given STL: use the dataset's precomputed predicted sstl
+                # (two-stage self-training flow, run_training.sh:40-62), or
+                # the GT sstl when absent
+                sstls = [
+                    it.get("predicted_sstl") or it.get("train_predicted_sstl")
+                    or it.get("sstl", "")
+                    for it in items
+                ]
+            bank_c = self._bank("test_nl_with_given_sstl_to_python", shots)
+            gens = self._generate(
+                "coder",
+                [bank_c.format_prompt(nl=n, sstl=s) for n, s in zip(nls, sstls)],
+                seed,
+            )
+            for p, g, s in zip(preds, gens, sstls):
+                p["predicted_sstl"] = s
+                p["predicted_python"] = extract_python_answer(g.text)
+            attach_logprobs(gens)
+            return preds
+
+        if eval_method in ("full_pipeline", "reasoning_only"):
+            # controller proposes an intermediate SSTL subgoal
+            bank_ctl = self._bank("dpo_train_nl_to_sstl", shots, dpo=True)
+            gens_ctl = self._generate(
+                "controller", [bank_ctl.format_prompt(nl=n) for n in nls], seed
+            )
+            inter_sstls = [extract_sstl_answer(g.text) for g in gens_ctl]
+            bank_c = self._bank("dpo_test_sstl_to_python", shots, dpo=True)
+            gens = self._generate(
+                "coder",
+                [
+                    bank_c.format_prompt(nl=n, sstl=s)
+                    for n, s in zip(nls, inter_sstls)
+                ],
+                seed,
+            )
+            for p, g, s in zip(preds, gens, inter_sstls):
+                p["predicted_intermediate_sstl"] = s
+                p["predicted_intermediate_python"] = extract_python_answer(g.text)
+                p["predicted_python"] = p["predicted_intermediate_python"]
+                p["predicted_sstl"] = s
+            attach_logprobs(gens)
+            return preds
+
+        raise AssertionError(eval_method)
+
+    # -- metrics ------------------------------------------------------------
+
+    def _compute_metrics(self, items, predictions) -> Dict[str, float]:
+        n_items = len(items)
+        reps = max(len(predictions) // max(n_items, 1), 1)
+        paired = [
+            (items[i % n_items], p) for i, p in enumerate(predictions)
+        ]
+
+        metrics: Dict[str, float] = {"n_samples": len(predictions)}
+
+        if self.do_ppl:
+            ppls = [
+                eval_perplexity(p.get("logprobs"))
+                for _, p in paired
+            ]
+            ok = [v for v in ppls if isinstance(v, float) and math.isfinite(v)]
+            metrics["perplexity"] = float(sum(ok) / len(ok)) if ok else float("nan")
+            metrics["perplexity timeout rate"] = 0.0
+
+        has_python = any("predicted_python" in p for _, p in paired)
+        has_sstl = any("predicted_sstl" in p for _, p in paired)
+
+        if self.do_edit:
+            dists = []
+            for it, p in paired:
+                if "predicted_python" in p and "python" in it:
+                    dists.append(eval_edit_distance(it["python"], p["predicted_python"]))
+                elif "predicted_sstl" in p and "sstl" in it:
+                    dists.append(eval_edit_distance(it["sstl"], p["predicted_sstl"]))
+            if dists:
+                metrics["edit distance"] = float(sum(dists) / len(dists))
+
+        if self.do_iou and has_sstl:
+            ious = [
+                eval_iou(p.get("predicted_sstl", ""), it.get("sstl", ""))
+                for it, p in paired
+            ]
+            ok = [v for v in ious if isinstance(v, float)]
+            metrics["iou"] = float(sum(ok) / len(ok)) if ok else 0.0
+            metrics["iou failures"] = float(
+                sum(1 for v in ious if v == "failed") / len(ious)
+            )
+            metrics["iou timeout rate"] = 0.0
+            for it, p, v in zip(
+                [x[0] for x in paired], [x[1] for x in paired], ious
+            ):
+                p["iou"] = v
+
+        if self.do_robustness and has_python:
+            codes = [p.get("predicted_python", "") for _, p in paired]
+            gt_formulas = []
+            for it, _ in paired:
+                try:
+                    gt_formulas.append(parse_nl_problem(it["nl"]).formula)
+                except Exception:
+                    gt_formulas.append(None)
+            results = eval_robustness_batch(
+                codes, key=jax.random.PRNGKey(0), config=self.synthesis,
+                gt_formulas=gt_formulas,
+            )
+            rob_acc, mres, time_mres = [], [], []
+            n_failed = 0
+            for (it, p), (rob, runtime) in zip(paired, results):
+                p["robustness"] = rob
+                p["time"] = runtime
+                gt_rob = it.get("robustness")
+                if rob == "failed":
+                    n_failed += 1
+                    continue
+                if gt_rob is not None and isinstance(gt_rob, (int, float)):
+                    rob_acc.append(float(_is_correct(rob, gt_rob)))
+                    denom = max(abs(gt_rob), 1e-9)
+                    mres.append(abs(rob - gt_rob) / denom)
+                gt_time = it.get("time")
+                if isinstance(gt_time, (int, float)) and isinstance(runtime, float):
+                    time_mres.append(abs(runtime - gt_time) / max(gt_time, 1e-9))
+            n = len(paired)
+            metrics["robustness failure rate"] = n_failed / n
+            metrics["robustness timeout rate"] = 0.0
+            if rob_acc:
+                metrics["robustness accuracy"] = float(sum(rob_acc) / len(rob_acc))
+            if mres:
+                metrics["robustness mre"] = float(sum(mres) / len(mres))
+            if time_mres:
+                metrics["simulation time mre"] = float(
+                    sum(time_mres) / len(time_mres)
+                )
+
+        # dataset-level GT robustness sign stats (``simulate_gt.py:133-160``)
+        gt_robs = [it.get("robustness") for it in items]
+        known = [r for r in gt_robs if isinstance(r, (int, float))]
+        if gt_robs and any(r is not None for r in gt_robs):
+            n = len(gt_robs)
+            metrics["gt positive robustness rate"] = (
+                sum(1 for r in known if r > 0) / n
+            )
+            metrics["gt negative robustness rate"] = (
+                sum(1 for r in known if r <= 0) / n
+            )
+            metrics["gt failed robustness rate"] = (
+                sum(1 for r in gt_robs if not isinstance(r, (int, float))) / n
+            )
+            if "robustness failure rate" in metrics:
+                # failures not explained by GT-unsolvable problems
+                metrics["adjusted_failure_rate"] = max(
+                    0.0,
+                    metrics["robustness failure rate"]
+                    - metrics["gt failed robustness rate"],
+                )
+        return metrics

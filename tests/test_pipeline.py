@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests: eval driver, GT simulation, aggregation.
+
+Uses the TINY model with a byte tokenizer — generations are gibberish, so
+these tests exercise plumbing, output layout, failure accounting, and the
+metric schema (the reference's smoke-scale strategy: ``max_samples=4``,
+``test_pdecontrol.sh:36``).
+"""
+
+import json
+import os
+import random
+
+import jax
+import pytest
+
+from pdec.control.synthesis import SynthesisConfig
+from pdec.data.generator import GeneratorConfig, render_example, sample_problem
+from pdec.infer.engine import InferenceEngine
+from pdec.models.config import TINY
+from pdec.models.transformer import init_params
+from pdec.pipeline.aggregate import aggregate_results, format_markdown_table, write_reports
+from pdec.pipeline.evaluate import EvalDriver
+from pdec.pipeline.simulate import simulate_ground_truth
+
+from tests.test_infer import ByteTokenizer
+
+FAST_SYNTH = SynthesisConfig(n_iters=6, n_starts=2)
+
+
+@pytest.fixture(scope="module")
+def items():
+    rng = random.Random(7)
+    return [
+        render_example(sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1)))
+        for _ in range(3)
+    ]
+
+
+@pytest.fixture(scope="module")
+def driver():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    engine = InferenceEngine(params, TINY, ByteTokenizer(), max_len=512)
+    engines = {"translator": engine, "coder": engine, "controller": engine}
+    return EvalDriver(
+        engines, synthesis=FAST_SYNTH, max_new_tokens=8, temperature=0.0,
+    )
+
+
+def test_eval_driver_layout_and_schema(driver, items, tmp_path):
+    res = driver.run(
+        items, eval_method="to_python_no_STL", shots=0, seed=0,
+        dataset_name="heat_nc1", out_dir=str(tmp_path),
+    )
+    run_dir = os.path.join(str(tmp_path), "heat_nc1_shots=0_seed=0", "to_python_no_STL")
+    assert res.out_dir == run_dir
+    assert os.path.exists(os.path.join(run_dir, "predictions.jsonl"))
+    with open(os.path.join(run_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    # gibberish generations -> all robustness evals fail, and that is
+    # *accounted*, not crashed (reference failure-rate semantics)
+    assert metrics["robustness failure rate"] == 1.0
+    assert metrics["n_samples"] == 3
+    assert "perplexity" in metrics
+    with open(os.path.join(run_dir, "predictions.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert all("predicted_python" in r for r in rows)
+
+
+def test_eval_driver_two_step(driver, items, tmp_path):
+    res = driver.run(
+        items, eval_method="to_python_two_step", shots=0, seed=0,
+        dataset_name="heat_nc1", out_dir=str(tmp_path),
+    )
+    assert all("predicted_sstl" in p for p in res.predictions)
+    assert all("predicted_python" in p for p in res.predictions)
+
+
+def test_eval_driver_full_pipeline(driver, items):
+    res = driver.run(items, eval_method="full_pipeline", shots=0, seed=0)
+    assert all("predicted_intermediate_sstl" in p for p in res.predictions)
+
+
+def test_ground_truth_simulation(items, tmp_path):
+    out = os.path.join(str(tmp_path), "labeled.jsonl")
+    labeled, metrics = simulate_ground_truth(
+        items, synthesis=FAST_SYNTH, out_path=out
+    )
+    assert len(labeled) == 3
+    assert all(isinstance(r["robustness"], float) for r in labeled)
+    total = (
+        metrics["gt positive robustness rate"]
+        + metrics["gt negative robustness rate"]
+        + metrics["gt failed robustness rate"]
+    )
+    assert total == pytest.approx(1.0)
+    assert os.path.exists(out)
+
+
+def test_aggregation(driver, items, tmp_path):
+    for seed in (0, 1):
+        driver.run(
+            items, eval_method="to_python_no_STL", shots=0, seed=seed,
+            dataset_name="heat_nc1", out_dir=str(tmp_path),
+        )
+    agg = aggregate_results(str(tmp_path))
+    assert "to_python_no_STL" in agg
+    stats = agg["to_python_no_STL"]["robustness failure rate"]["heat_nc1"][0]
+    assert stats[0] == pytest.approx(1.0)  # mean over 2 seeds
+    assert stats[2] == 2
+    md = format_markdown_table(agg, "to_python_no_STL")
+    assert "## Metric: robustness failure rate" in md
+    assert "1.0000" in md
+    paths = write_reports(str(tmp_path))
+    assert paths and all(os.path.exists(p) for p in paths)
