@@ -54,7 +54,10 @@ def _python_levenshtein(a: str, b: str) -> int:
 def eval_edit_distance(reference: str, prediction: str) -> int:
     """Levenshtein distance between the GT program and the prediction."""
     if _native_editdistance is not None:
-        return _native_editdistance(reference, prediction)
+        try:
+            return _native_editdistance(reference, prediction)
+        except ImportError:
+            pass  # native build unavailable; fall through
     return _python_levenshtein(reference, prediction)
 
 
