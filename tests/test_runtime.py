@@ -19,7 +19,7 @@ class TestConfig:
         assert loaded["mode"] == "sft"
         assert loaded["train"]["learning_rate"] == 4e-5
         assert loaded["data"]["max_len"] == 4096
-        assert loaded["synthesis"]["n_starts"] == 8
+        assert loaded["synthesis"]["n_starts"] == 6
 
     def test_overrides(self):
         cfg = RunConfig()
