@@ -118,12 +118,15 @@ def _fwd_pallas(a, b, c, x0, u, chunk: int, stride: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(a_ref, b_ref, g_ref, du_ref, *,
+def _bwd_kernel(at_ref, b_ref, g_ref, du_ref, *,
                 s_pad: int, chunk: int, stride: int, n_chunks: int):
     """Adjoint recursion, reverse time.
 
-    lam after processing step k equals dL/dx_k.  du[chunk] accumulates
-    b . lam_{k+1} over the chunk's fine steps.
+    ``at_ref`` holds the TRANSPOSED propagator in the same lane layout as
+    the forward (at[i] rows give lam' = sum_i at[i] * lam[i] with the
+    identical broadcast-FMA pattern — no in-kernel transposes or
+    concatenates, which Mosaic compiles poorly).
+    du[chunk] accumulates b . lam_{k+1} over the chunk's fine steps;
     g_ref: [1, T//stride, S, L] cotangents at strided states.
     """
     b = b_ref[0]
@@ -147,12 +150,11 @@ def _bwd_kernel(a_ref, b_ref, g_ref, du_ref, *,
             lam = lam + g
             # du_k = b . lam (lam currently = dL/dx_{k+1})
             du_acc = du_acc + jnp.sum(b * lam, axis=0)
-            # lam <- A^T lam : out[j] = sum_i A[j, i] * lam[i]
-            rows = []
-            for j in range(s_pad):
-                rows.append(jnp.sum(a_ref[0, j] * lam, axis=0, keepdims=True))
-            lam = jnp.concatenate(rows, axis=0)
-            return lam, du_acc
+            # lam <- A^T lam via the pre-transposed operand
+            acc = jnp.zeros_like(lam)
+            for i in range(s_pad):
+                acc = acc + at_ref[0, i] * lam[i][None, :]
+            return acc, du_acc
 
         lam, du_acc = jax.lax.fori_loop(0, chunk, step_body, (lam, du_acc))
         du_ref[0, ci] = du_acc
@@ -163,6 +165,9 @@ def _bwd_kernel(a_ref, b_ref, g_ref, du_ref, *,
 
 def _bwd_pallas(a, b, g, chunk: int, stride: int, n_chunks: int):
     tiles, s_pad, _, lanes = a.shape
+    # a is [tiles, S_j, S_i, L]; swapping the S axes gives the transpose in
+    # the layout the forward-style FMA loop expects
+    at = a.transpose(0, 2, 1, 3)
     kernel = functools.partial(
         _bwd_kernel, s_pad=s_pad, chunk=chunk, stride=stride,
         n_chunks=n_chunks,
@@ -181,7 +186,7 @@ def _bwd_pallas(a, b, g, chunk: int, stride: int, n_chunks: int):
         out_specs=pl.BlockSpec((1, n_chunks, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tiles, n_chunks, lanes), jnp.float32),
-    )(a, b, g)
+    )(at, b, g)
 
 
 # ---------------------------------------------------------------------------
