@@ -46,6 +46,7 @@ class SynthesisConfig(NamedTuple):
     n_iters: int = 40
     n_starts: int = 6
     eval_stride: int = 4  # objective time subsampling (hard eval stays exact)
+    polish_iters: int = 8  # trailing full-resolution iterations at tau_end
     lr: float = 0.15
     tau_start: float = 0.2  # in units of field_scale
     tau_end: float = 0.01
@@ -53,7 +54,7 @@ class SynthesisConfig(NamedTuple):
 
     @classmethod
     def high(cls):
-        return cls(n_iters=60, n_starts=8)
+        return cls(n_iters=60, n_starts=8, polish_iters=12)
 
 
 class SynthesisResult(NamedTuple):
@@ -125,27 +126,52 @@ def synthesize(
     stride = cfg.eval_stride
     ts_strided = ts[::stride]
 
-    def objective(theta, tau):
-        traj = rollout_trajectory_chunked(
-            *ops, system.x0, to_controls(theta), system.g0, system.n_out
-        )
-        return -smooth_robustness(
-            traj[::stride], ts_strided, system.xs, clauses, program, tau
-        )
+    def make_objective(s, ts_s):
+        def objective(theta, tau):
+            traj = rollout_trajectory_chunked(
+                *ops, system.x0, to_controls(theta), system.g0, system.n_out
+            )
+            return -smooth_robustness(
+                traj[::s], ts_s, system.xs, clauses, program, tau
+            )
+        return objective
 
-    optimizer = optax.adam(cfg.lr)
+    objective = make_objective(stride, ts_strided)
+    # Polish phase: a few iterations on the FULL time grid at the final
+    # temperature — the strided objective can miss the binding time step
+    # (measurably so for '=' tracking specs; see tests/test_optimality.py).
+    objective_full = make_objective(1, ts)
+
+    # lr decays with the temperature: as tau sharpens, the gradient
+    # concentrates on the binding constraint and large steps orbit the
+    # optimum instead of settling onto it
+    total_iters = cfg.n_iters + cfg.polish_iters
+    lr_schedule = optax.cosine_decay_schedule(
+        cfg.lr, total_iters, alpha=0.05
+    )
+    optimizer = optax.adam(lr_schedule)
 
     def run_one_start(theta0):
         opt_state = optimizer.init(theta0)
 
-        def opt_step(carry, tau):
-            theta, opt_state = carry
-            grads = jax.grad(objective)(theta, tau)
-            updates, opt_state = optimizer.update(grads, opt_state, theta)
-            theta = optax.apply_updates(theta, updates)
-            return (theta, opt_state), None
+        def opt_step_for(obj):
+            def opt_step(carry, tau):
+                theta, opt_state = carry
+                grads = jax.grad(obj)(theta, tau)
+                updates, opt_state = optimizer.update(grads, opt_state, theta)
+                theta = optax.apply_updates(theta, updates)
+                return (theta, opt_state), None
+            return opt_step
 
-        (theta, _), _ = jax.lax.scan(opt_step, (theta0, opt_state), taus)
+        carry, _ = jax.lax.scan(
+            opt_step_for(objective), (theta0, opt_state), taus
+        )
+        if cfg.polish_iters > 0:
+            polish_taus = jnp.full((cfg.polish_iters,), taus[-1])
+            carry, _ = jax.lax.scan(
+                opt_step_for(objective_full), carry, polish_taus
+            )
+        theta, _ = carry
         controls = to_controls(theta)
         traj = rollout_trajectory_chunked(
             *ops, system.x0, controls, system.g0, system.n_out
@@ -153,9 +179,15 @@ def synthesize(
         hard = robustness(traj, ts, system.xs, clauses, program)
         return hard, controls, theta
 
-    # start 0 = zero control; the rest random in tanh-space
+    # Start portfolio: zero control, a ladder of constant controls (the
+    # subspace a coarse grid search would cover — Adam then refines into
+    # time-varying solutions), and random inits for disjunct coverage.
     init = jax.random.normal(key, (cfg.n_starts, n_chunks)) * cfg.init_scale
     init = init.at[0].set(0.0)
+    n_const = min(4, max(cfg.n_starts - 2, 0))
+    consts = jnp.linspace(-1.5, 1.5, n_const) if n_const else jnp.zeros((0,))
+    for i in range(n_const):
+        init = init.at[1 + i].set(consts[i])
 
     hard, controls, thetas = jax.vmap(run_one_start)(init)
     best = jnp.argmax(hard)

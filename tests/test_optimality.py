@@ -1,0 +1,76 @@
+"""Optimality tolerance harness.
+
+The reference's ground truth is a Gurobi MILP global optimum; its recorded
+optima are not in the snapshot (SURVEY.md §0.1), so global optimality is
+checked against exhaustive grid search on problems small enough to
+enumerate: synthesis must reach the best 2-phase control's robustness
+within 1% of the problem's field scale (the BASELINE.md tolerance).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdec.control.synthesis import (
+    SynthesisConfig,
+    evaluate_controls,
+    synthesize,
+)
+from pdec.stl.ast import Clause, compile_spec
+
+from tests.test_control import CHUNK, MAX_STEPS, N_CHUNKS, small_heat_system
+
+CFG = SynthesisConfig(chunk=CHUNK, n_iters=50, n_starts=6, eval_stride=2,
+                      lr=0.25)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _grid_best(system, cl, pr, grid):
+    """Exhaustive 2-phase control search: u = u1 for the first half of the
+    horizon, u2 for the second."""
+
+    def rho_of(u1, u2):
+        half = N_CHUNKS // 2
+        controls = jnp.concatenate(
+            [jnp.full((half,), u1), jnp.full((N_CHUNKS - half,), u2)]
+        )
+        return evaluate_controls(system, controls, cl, pr, MAX_STEPS, CHUNK)
+
+    rhos = jax.vmap(lambda u1: jax.vmap(lambda u2: rho_of(u1, u2))(grid))(grid)
+    return jnp.max(rhos)
+
+
+FORMULAS = [
+    # heat-then-cool: genuinely needs a 2-phase control
+    ("and",
+     Clause.make("G", (1.5, 2.5), (0.5, 1.0), 0.0, 0.6, ">"),
+     Clause.make("G", (4.0, 4.8), (0.5, 1.0), 0.0, 0.2, "<")),
+    # tracking: hold the field near a profile
+    Clause.make("G", (2.0, 4.5), (0.4, 1.0), 0.5, 0.3, "="),
+    # disjunctive: two distant basins
+    ("or",
+     Clause.make("G", (3.0, 4.5), (0.5, 1.0), 0.0, 1.1, ">"),
+     Clause.make("G", (3.0, 4.5), (0.5, 1.0), 0.0, -1.1, "<")),
+]
+
+
+@pytest.mark.parametrize("fidx", range(len(FORMULAS)))
+def test_synthesis_within_tolerance_of_grid_optimum(fidx):
+    system = small_heat_system()
+    spec = compile_spec(FORMULAS[fidx])
+    cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
+
+    grid = jnp.linspace(-4.0, 4.0, 65)
+    best_grid = float(_grid_best(system, cl, pr, grid))
+
+    res = synthesize(system, cl, pr, jax.random.PRNGKey(fidx), MAX_STEPS, CFG)
+    rho = float(res.robustness)
+
+    # 1% of the field scale (profiles here are O(1))
+    tolerance = 0.01 * 1.0
+    assert rho >= best_grid - tolerance, (
+        f"synthesis {rho:.4f} below grid optimum {best_grid:.4f}"
+    )
