@@ -53,7 +53,7 @@ def main():
 
     n_problems = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     max_steps = 320  # heat family horizon bucket (T <= 16 s at dt = 0.05)
-    config = SynthesisConfig(n_iters=60, n_starts=8)
+    config = SynthesisConfig()  # measured quality knee (see benchmarks/)
 
     systems, cl, pr = build_batch(n_problems, max_steps)
     key = jax.random.PRNGKey(0)
