@@ -1,0 +1,148 @@
+"""DPO preference-pair construction: intermediate-subgoal utility scoring.
+
+The reference's DPO training data (rows of ``{anchor, w_utility, w_time,
+w_sstl, l_utility, l_time, l_sstl, dataset_class, pidx, nc}``, reference
+``train/scripts/utils/loader.py:265``) is downloaded, not constructed
+in-repo.  This module builds such pairs from scratch:
+
+1. for each problem, propose candidate *intermediate* SSTL subgoals
+   (perturbations of the GT spec: tightened/loosened profiles, shifted
+   windows, earlier deadlines — the kinds of subgoals the controller LLM is
+   trained to emit),
+2. score each candidate's *utility*: synthesize the control that optimizes
+   the candidate, then evaluate the achieved hard robustness against the
+   ORIGINAL spec (two-stage evaluation — candidates only win by actually
+   helping the true objective),
+3. emit (winner, loser) pairs by utility.
+
+All candidates across the dataset are scored in ONE batched synthesis
+dispatch — the pod-scale replacement for per-pair Gurobi scoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pdec.control.synthesis import SynthesisConfig, synthesize_batch, evaluate_controls
+from pdec.data.generator import GeneratedExample
+from pdec.physics.problem import problem_from_program, stack_systems
+from pdec.stl.ast import Clause, Formula, compile_spec, formula_clauses, stack_specs
+from pdec.stl.parse_latex import format_sstl_latex
+
+
+def _perturb_clause(rng: random.Random, c: Clause, t_final: float) -> Clause:
+    """One candidate-subgoal move on a clause."""
+    move = rng.choice(["offset", "tighten_time", "early", "slope"])
+    if move == "offset":
+        delta = rng.uniform(-0.15, 0.15) * (abs(c.b) + 1.0)
+        return dataclasses.replace(c, b=c.b + delta)
+    if move == "tighten_time":
+        width = c.t1 - c.t0
+        shrink = rng.uniform(0.1, 0.4) * width
+        return dataclasses.replace(c, t0=c.t0 + shrink / 2, t1=c.t1 - shrink / 2)
+    if move == "early":
+        shift = rng.uniform(0.1, 0.3) * c.t0
+        return dataclasses.replace(c, t0=max(c.t0 - shift, 0.0),
+                                   t1=max(c.t1 - shift, c.t0 * 0.5 + 0.01))
+    delta_m = rng.uniform(-0.3, 0.3) * (abs(c.m) + 1e-3)
+    return dataclasses.replace(c, m=c.m + delta_m)
+
+
+def _perturb_formula(rng: random.Random, f: Formula, t_final: float) -> Formula:
+    if isinstance(f, Clause):
+        return _perturb_clause(rng, f, t_final)
+    op, left, right = f
+    if rng.random() < 0.5:
+        return (op, _perturb_formula(rng, left, t_final), right)
+    return (op, left, _perturb_formula(rng, right, t_final))
+
+
+def build_dpo_pairs(
+    examples: Sequence[GeneratedExample],
+    n_candidates: int = 4,
+    synthesis: SynthesisConfig = SynthesisConfig(),
+    seed: int = 0,
+    max_steps_bucket: int = 64,
+) -> List[Dict]:
+    """-> reference-schema DPO rows, one per (winner, loser) extreme pair."""
+    rng = random.Random(seed)
+    key = jax.random.PRNGKey(seed)
+
+    # 1. flatten (example, candidate) into one synthesis batch per family
+    flat = []  # (ex_idx, formula)
+    for i, ex in enumerate(examples):
+        for _ in range(n_candidates):
+            flat.append((i, _perturb_formula(rng, ex.formula, ex.program.t_final)))
+
+    # group by family for stacking
+    groups: Dict = {}
+    for j, (i, cand) in enumerate(flat):
+        prog = examples[i].program
+        n_steps = int(round(prog.t_final / prog.dt))
+        bucket = ((n_steps + max_steps_bucket - 1) // max_steps_bucket
+                  ) * max_steps_bucket
+        bucket = ((bucket + synthesis.chunk - 1) // synthesis.chunk
+                  ) * synthesis.chunk
+        groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(j)
+
+    utilities = [None] * len(flat)
+    times = [None] * len(flat)
+    for (kind, n_el, bucket), idxs in groups.items():
+        t0 = time.perf_counter()
+        systems, cand_specs, gt_specs = [], [], []
+        for j in idxs:
+            i, cand = flat[j]
+            systems.append(problem_from_program(examples[i].program,
+                                                max_steps=bucket))
+            cand_specs.append(compile_spec(cand))
+            gt_specs.append(compile_spec(examples[i].formula))
+        stacked = stack_systems(systems)
+        cl, pr = stack_specs(cand_specs)
+        res = jax.jit(
+            synthesize_batch, static_argnames=("max_steps", "config")
+        )(stacked, jnp.asarray(cl), jnp.asarray(pr), key, max_steps=bucket,
+          config=synthesis)
+        # 2. utility = achieved robustness on the ORIGINAL spec
+        cl_gt, pr_gt = stack_specs(gt_specs)
+        scores = jax.jit(
+            jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
+            static_argnums=(4, 5),
+        )(stacked, res.controls, jnp.asarray(cl_gt), jnp.asarray(pr_gt),
+          bucket, synthesis.chunk)
+        per = (time.perf_counter() - t0) / max(len(idxs), 1)
+        for k, j in enumerate(idxs):
+            utilities[j] = float(scores[k])
+            times[j] = per
+
+    # 3. winner/loser rows per example
+    rows: List[Dict] = []
+    by_example: Dict[int, List[int]] = {}
+    for j, (i, _) in enumerate(flat):
+        by_example.setdefault(i, []).append(j)
+    for i, idxs in by_example.items():
+        scored = sorted(idxs, key=lambda j: utilities[j], reverse=True)
+        w, l = scored[0], scored[-1]
+        if utilities[w] <= utilities[l]:
+            continue  # no informative preference
+        ex = examples[i]
+        rows.append(
+            {
+                "anchor": ex.nl,
+                "w_utility": utilities[w],
+                "w_time": times[w],
+                "w_sstl": format_sstl_latex(flat[w][1]),
+                "l_utility": utilities[l],
+                "l_time": times[l],
+                "l_sstl": format_sstl_latex(flat[l][1]),
+                "dataset_class": ex.meta.get("kind", "heat"),
+                "pidx": i,
+                "nc": len(formula_clauses(ex.formula)),
+            }
+        )
+    return rows

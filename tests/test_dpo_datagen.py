@@ -1,0 +1,36 @@
+"""DPO preference-pair construction tests (reference data schema)."""
+
+import random
+
+from pdec.control.synthesis import SynthesisConfig
+from pdec.data.generator import GeneratorConfig, sample_problem
+from pdec.pipeline.dpo_datagen import build_dpo_pairs
+from pdec.stl.ast import Clause, formula_clauses
+from pdec.stl.parse_latex import parse_sstl_latex
+
+FAST = SynthesisConfig(n_iters=8, n_starts=2, polish_iters=0)
+
+REFERENCE_DPO_KEYS = {
+    "anchor", "w_utility", "w_time", "w_sstl", "l_utility", "l_time",
+    "l_sstl", "dataset_class", "pidx", "nc",
+}
+
+
+def test_dpo_pair_schema_and_ordering():
+    rng = random.Random(11)
+    examples = [
+        sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
+        for _ in range(3)
+    ]
+    rows = build_dpo_pairs(examples, n_candidates=3, synthesis=FAST, seed=0)
+    assert rows, "no preference pairs produced"
+    for row in rows:
+        assert set(row) == REFERENCE_DPO_KEYS
+        # winner strictly better than loser on the TRUE objective
+        assert row["w_utility"] > row["l_utility"]
+        # both sstl views parse back into valid formulas
+        w = parse_sstl_latex(row["w_sstl"])
+        l = parse_sstl_latex(row["l_sstl"])
+        assert formula_clauses(w) and formula_clauses(l)
+        assert row["dataset_class"] == "heat"
+        assert row["nc"] == 1
