@@ -60,6 +60,7 @@ def eval_robustness_batch(
     key: Optional[jax.Array] = None,
     config: SynthesisConfig = SynthesisConfig(),
     gt_formulas=None,
+    bucket_granularity: int = 64,
 ) -> List[Tuple[Scalar, Scalar]]:
     """Synthesize + score a batch of coder-dialect programs.
 
@@ -89,7 +90,11 @@ def eval_robustness_batch(
         if prog is None:
             continue
         n_steps = int(round(prog.t_final / prog.dt))
-        bucket = _round_up(_round_up(max(n_steps, 1), 64), config.chunk)
+        # coarser granularity trades padded compute for fewer horizon-bucket
+        # compiles (useful for one-shot labeling jobs on the tunnel device)
+        bucket = _round_up(
+            _round_up(max(n_steps, 1), bucket_granularity), config.chunk
+        )
         groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(i)
 
     for (kind, n_el, bucket), idxs in groups.items():
