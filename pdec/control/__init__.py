@@ -25,11 +25,13 @@ from pdec.control.synthesis import (
     synthesize_batch,
     evaluate_controls,
 )
+from pdec.control.lanes import synthesize_batch_lanes
 
 __all__ = [
     "SynthesisConfig",
     "SynthesisResult",
     "synthesize",
     "synthesize_batch",
+    "synthesize_batch_lanes",
     "evaluate_controls",
 ]

@@ -19,5 +19,14 @@ from pdec.infer.engine import (
     Generation,
     InferenceEngine,
 )
+from pdec.infer.continuous import ContinuousEngine
+from pdec.infer.scoring import next_token_distribution, score_completions
 
-__all__ = ["GenerationConfig", "Generation", "InferenceEngine"]
+__all__ = [
+    "GenerationConfig",
+    "Generation",
+    "InferenceEngine",
+    "ContinuousEngine",
+    "score_completions",
+    "next_token_distribution",
+]
