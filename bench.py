@@ -17,9 +17,18 @@ Prints ONE json line:
 """
 
 import json
+import os
 import random
 import sys
 import time
+
+# reuse compiled executables across invocations (first compile of the
+# synthesis graph over the device tunnel costs ~15 min)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
