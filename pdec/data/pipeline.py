@@ -37,9 +37,11 @@ IGNORE_INDEX = -100
 # --------------------------------------------------------------------------
 
 SFT_FORMATS = {
-    # prompt_format -> (train format key, sstl source key)
+    # prompt_format -> (train format key, sstl source key when the sstl is
+    # a prompt INPUT; None when the sstl/python is the training TARGET and
+    # the prompt must end at the open fence)
     "to_python_no_STL": ("nl_to_python", None),
-    "to_STL": ("nl_to_sstl", "sstl"),
+    "to_STL": ("nl_to_sstl", None),
     "to_python_GT_STL": ("train_nl_and_sstl_to_python", "sstl"),
     "to_python_given_STL": ("train_nl_with_given_sstl_to_python",
                             "train_predicted_sstl"),

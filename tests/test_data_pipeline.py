@@ -84,6 +84,31 @@ class TestPromptContract:
             FewShotBank("nl_to_python", num_shots=4, dataset="heat")
 
 
+class TestTargetLeakage:
+    """The prompt must never contain the training target (a model trained
+    on a leaked prompt merely copies and cannot generate at test time)."""
+
+    def test_to_stl_prompt_excludes_answer(self):
+        row = {"nl": "a rod problem", "sstl": "G_[[0, 1]] (SECRET)",
+               "python": "code"}
+        out = create_prompt([row], "to_STL")[0]
+        assert "SECRET" not in out["text"]
+        assert out["text"].endswith("```latex\n")
+        assert out["labels"] == row["sstl"] + "\n```"
+
+    def test_to_python_prompt_excludes_answer(self):
+        row = {"nl": "a rod problem", "sstl": "spec", "python": "SECRET_CODE"}
+        out = create_prompt([row], "to_python_no_STL")[0]
+        assert "SECRET_CODE" not in out["text"]
+        assert out["text"].endswith("```python\n")
+
+    def test_gt_stl_prompt_contains_sstl_input_but_not_python(self):
+        row = {"nl": "p", "sstl": "THE_SPEC", "python": "THE_CODE"}
+        out = create_prompt([row], "to_python_GT_STL")[0]
+        assert "THE_SPEC" in out["text"]  # sstl is a legitimate input here
+        assert "THE_CODE" not in out["text"]
+
+
 class TestTokenization:
     def test_sft_masks_prompt(self):
         tok = WordTokenizer()
