@@ -59,7 +59,7 @@ def main():
     from pdec.train.sft import make_sft_step
 
     cfg = ModelConfig(vocab_size=256, d_model=128, n_layers=3, n_heads=4,
-                      n_kv_heads=4, d_ff=256, max_seq=1024, dtype="float32")
+                      n_kv_heads=4, d_ff=256, max_seq=2048, dtype="float32")
     tok = ByteTokenizer()
 
     # 1. datagen (memorization-scale corpus)
@@ -73,7 +73,7 @@ def main():
     # 2. prompts -> tokens -> packed batches (the reference to_STL flow)
     prompts = create_prompt(rows, "to_STL")
     tokenized = tokenize_sft(prompts, tok)
-    max_len = 768
+    max_len = 1664  # byte-level sequences run ~1.3k tokens
     packed = pack_sequences(tokenized, max_len, tok.pad_token_id)
     print(f"[2/4] packed {packed['input_ids'].shape} tokens")
 
@@ -117,7 +117,7 @@ def main():
         full = format_train_prompt("nl_to_sstl", nl=r["nl"], sstl="MARK")
         train_prompts.append(full.split("MARK")[0])
     gens = engine.generate(
-        train_prompts, GenerationConfig(max_new_tokens=160, temperature=0.0)
+        train_prompts, GenerationConfig(max_new_tokens=192, temperature=0.0)
     )
     exact = 0
     for r, g in zip(rows[:4], gens):
@@ -129,7 +129,7 @@ def main():
     # 4. standard eval driver on the training problems
     driver = EvalDriver(
         {"translator": engine, "coder": engine, "controller": engine},
-        temperature=0.0, max_new_tokens=160, eval_robustness=False,
+        temperature=0.0, max_new_tokens=192, eval_robustness=False,
     )
     res = driver.run(rows[:8], eval_method="to_STL", shots=0, seed=0)
     print("[4/4] eval metrics:", {
