@@ -45,7 +45,7 @@ class ByteTokenizer:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--steps", type=int, default=300)  # ~45 min on CPU; minutes on TPU
     p.add_argument("--n", type=int, default=24)
     args = p.parse_args()
 
@@ -125,6 +125,7 @@ def main():
         if pred.strip() == r["sstl"].strip():
             exact += 1
     print(f"[3b] train-format regurgitation: {exact}/4 exact sstl matches")
+    assert exact >= 3, "end-to-end memorization failed"
 
     # 4. standard eval driver on the training problems
     driver = EvalDriver(
@@ -140,6 +141,10 @@ def main():
     print("    per-example IoU:", ious)
     sample = res.predictions[0].get("predicted_sstl", "")[:110]
     print("    sample prediction:", sample)
+    # NOTE: the driver's to_STL eval uses the TEST prompt format, which in
+    # the reference too differs from the train format (adds a "Spatial
+    # Signal Temporal Logic:" preamble) — a toy byte-level memorizer cannot
+    # bridge that, so low IoU here is expected; [3b] is the spine check.
     ok = [v for v in ious if isinstance(v, float)]
     assert last < first * 0.2, "training failed to reduce loss"
     print("DEMO OK" + (f" (parse rate {len(ok)}/{len(ious)})" if ious else ""))
