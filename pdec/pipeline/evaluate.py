@@ -147,26 +147,56 @@ class EvalDriver:
         dataset_name: str = "dataset",
         out_dir: Optional[str] = None,
         repeat_id_start: int = 0,
+        n_subsets: int = 1,
+        subset_id: Optional[int] = None,
+        skip_existing_scores: bool = False,
+        load_from_file: bool = False,
     ) -> EvalResult:
+        """Reconstructed driver contract (SURVEY.md §0.1, arg surface at
+        ``train/validate.py:28-64``): ``n_subsets``/``subset_id`` shard the
+        dataset for parallel runs (metrics written as
+        ``metrics.{subset_id}.json``), ``skip_existing_scores`` short-circuits
+        completed runs, ``load_from_file`` recomputes metrics from an
+        existing ``predictions.jsonl`` without regenerating."""
         if eval_method not in _METHODS:
             raise ValueError(f"unknown eval method {eval_method!r}")
-        predictions: List[Dict] = []
-        for rep in range(self.n_repeat_sampling):
-            rep_seed = seed + repeat_id_start + rep
-            predictions.extend(
-                self._run_once(items, eval_method, shots, rep_seed, rep)
-            )
-        metrics = self._compute_metrics(items, predictions)
-        result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
+
+        if subset_id is not None and n_subsets > 1:
+            items = list(items)[subset_id::n_subsets]
+        metrics_name = (
+            "metrics.json" if subset_id is None else f"metrics.{subset_id}.json"
+        )
+        run_dir = None
         if out_dir is not None:
             run_dir = os.path.join(
                 out_dir, f"{dataset_name}_shots={shots}_seed={seed}", eval_method
             )
+            metrics_path = os.path.join(run_dir, metrics_name)
+            if skip_existing_scores and os.path.exists(metrics_path):
+                with open(metrics_path) as f:
+                    return EvalResult([], json.load(f), run_dir)
+
+        predictions: List[Dict] = []
+        pred_path = (
+            os.path.join(run_dir, "predictions.jsonl") if run_dir else None
+        )
+        if load_from_file and pred_path and os.path.exists(pred_path):
+            with open(pred_path) as f:
+                predictions = [json.loads(l) for l in f if l.strip()]
+        else:
+            for rep in range(self.n_repeat_sampling):
+                rep_seed = seed + repeat_id_start + rep
+                predictions.extend(
+                    self._run_once(items, eval_method, shots, rep_seed, rep)
+                )
+        metrics = self._compute_metrics(items, predictions)
+        result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
+        if run_dir is not None:
             os.makedirs(run_dir, exist_ok=True)
             with open(os.path.join(run_dir, "predictions.jsonl"), "w") as f:
                 for p in predictions:
                     f.write(json.dumps(p) + "\n")
-            with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+            with open(os.path.join(run_dir, metrics_name), "w") as f:
                 json.dump(metrics, f, indent=2)
             result.out_dir = run_dir
         return result

@@ -96,6 +96,42 @@ def test_ground_truth_simulation(items, tmp_path):
     assert os.path.exists(out)
 
 
+def test_subsets_and_skip_existing(driver, items, tmp_path):
+    r0 = driver.run(
+        items, eval_method="to_python_no_STL", shots=0, seed=0,
+        dataset_name="d", out_dir=str(tmp_path), n_subsets=2, subset_id=0,
+    )
+    r1 = driver.run(
+        items, eval_method="to_python_no_STL", shots=0, seed=0,
+        dataset_name="d", out_dir=str(tmp_path), n_subsets=2, subset_id=1,
+    )
+    # 3 items shard into 2 + 1
+    assert r0.metrics["n_samples"] + r1.metrics["n_samples"] == 3
+    assert os.path.exists(os.path.join(r0.out_dir, "metrics.0.json"))
+    assert os.path.exists(os.path.join(r1.out_dir, "metrics.1.json"))
+    # skip_existing returns the stored metrics without regenerating
+    again = driver.run(
+        items, eval_method="to_python_no_STL", shots=0, seed=0,
+        dataset_name="d", out_dir=str(tmp_path), n_subsets=2, subset_id=0,
+        skip_existing_scores=True,
+    )
+    assert again.predictions == []
+    assert again.metrics["n_samples"] == r0.metrics["n_samples"]
+
+
+def test_load_from_file_recomputes_metrics(driver, items, tmp_path):
+    first = driver.run(
+        items, eval_method="to_python_no_STL", shots=0, seed=0,
+        dataset_name="lf", out_dir=str(tmp_path),
+    )
+    again = driver.run(
+        items, eval_method="to_python_no_STL", shots=0, seed=0,
+        dataset_name="lf", out_dir=str(tmp_path), load_from_file=True,
+    )
+    assert len(again.predictions) == len(first.predictions)
+    assert again.metrics["n_samples"] == first.metrics["n_samples"]
+
+
 def test_aggregation(driver, items, tmp_path):
     for seed in (0, 1):
         driver.run(
