@@ -13,10 +13,9 @@ systems, cl, pr = build_batch(B, MAX_STEPS, seed=42)
 key = jax.random.PRNGKey(7)
 
 CONFIGS = {
-    "full (60it/8st/s4)": SynthesisConfig(n_iters=60, n_starts=8, eval_stride=4),
-    "fast-c16 (40it/6st/s4/c16)": SynthesisConfig(n_iters=40, n_starts=6, eval_stride=4, chunk=16),
-    "fast-c32 (40it/6st/s4/c32)": SynthesisConfig(n_iters=40, n_starts=6, eval_stride=4, chunk=32),
-    "fast-c64 (40it/6st/s4/c64)": SynthesisConfig(n_iters=40, n_starts=6, eval_stride=4, chunk=64),
+    "default (40it/6st/p8)": SynthesisConfig(),
+    "lean (26it/6st/p6)": SynthesisConfig(n_iters=26, polish_iters=6),
+    "leaner (20it/4st/p6)": SynthesisConfig(n_iters=20, n_starts=4, polish_iters=6),
 }
 
 synth = jax.jit(synthesize_batch, static_argnames=("max_steps", "config"))
