@@ -121,6 +121,15 @@ def eval_robustness_batch(
         if not systems:
             continue
 
+        # pad the group to a power-of-two batch so repeated sweeps over
+        # different dataset sizes reuse one compiled executable
+        n_real = len(systems)
+        n_pad = max(1 << (n_real - 1).bit_length(), 8)
+        while len(systems) < n_pad:
+            systems.append(systems[0])
+            specs.append(specs[0])
+            score_specs.append(score_specs[0])
+
         stacked = stack_systems(systems)
         cl, pr = stack_specs(specs)
         res = _synthesize_jit(
