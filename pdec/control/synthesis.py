@@ -32,6 +32,7 @@ from pdec.physics.rollout import (
     precompute_chunk_operators,
     rollout_trajectory_chunked,
 )
+from pdec.physics.spectral import spectral_trajectory_strided
 from pdec.stl.semantics import robustness, smooth_robustness
 
 
@@ -127,13 +128,26 @@ def synthesize(
     stride = cfg.eval_stride
     ts_strided = ts[::stride]
 
+    use_spectral = system.spectral is not None
+
     def make_objective(s, ts_s):
         def objective(theta, tau):
-            traj = rollout_trajectory_chunked(
-                *ops, system.x0, to_controls(theta), system.g0, system.n_out
-            )
+            if use_spectral:
+                # closed-form eigenbasis rollout: parallel in time (see
+                # pdec.physics.spectral) — removes the sequential-scan
+                # latency bound that dominates the direct path
+                traj = spectral_trajectory_strided(
+                    system.spectral, to_controls(theta), system.g0,
+                    system.n_out, cfg.chunk, s,
+                )
+            else:
+                full = rollout_trajectory_chunked(
+                    *ops, system.x0, to_controls(theta), system.g0,
+                    system.n_out,
+                )
+                traj = full[::s]
             return -smooth_robustness(
-                traj[::s], ts_s, system.xs, clauses, program, tau
+                traj, ts_s, system.xs, clauses, program, tau
             )
         return objective
 

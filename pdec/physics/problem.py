@@ -13,11 +13,15 @@ SURVEY.md §0.1; this documented scaling is our equivalent).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.struct as struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pdec.physics.heat import build_heat_system
+from pdec.physics.spectral import SpectralOps, spectral_ops
 from pdec.physics.wave import build_wave_system
 from pdec.stl.program import FemProgram
 
@@ -42,6 +46,10 @@ class DiscreteSystem:
     dt: jnp.ndarray  # scalar fine step
     n_steps: jnp.ndarray  # scalar int: valid steps (<= controls length)
     u_scale: jnp.ndarray  # scalar control bound (|u| <= u_scale)
+    # host-precomputed eigenbasis operators (pdec.physics.spectral); when
+    # present the synthesis objective uses the closed-form parallel-in-time
+    # rollout instead of the sequential scan
+    spectral: Optional[SpectralOps] = None
     n_out: int = struct.field(pytree_node=False, default=0)
 
 
@@ -124,6 +132,7 @@ def problem_from_program(
         dt=jnp.asarray(dtype(prog.dt)),
         n_steps=jnp.asarray(n_steps, dtype=jnp.int32),
         u_scale=u_scale.astype(dtype),
+        spectral=spectral_ops(a_d, b_d, c_d, x0),
         n_out=n,
     )
 
@@ -135,7 +144,11 @@ def stack_systems(systems) -> DiscreteSystem:
         raise ValueError("cannot stack systems with different n_out")
     fields = ("a_d", "b_d", "c_d", "x0", "g0", "xs", "dt", "n_steps", "u_scale")
     leaves = {f: jnp.stack([getattr(s, f) for s in systems]) for f in fields}
-    return DiscreteSystem(n_out=n_out, **leaves)
+    spectral = None
+    if all(s.spectral is not None for s in systems):
+        spectral = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[s.spectral for s in systems])
+    return DiscreteSystem(n_out=n_out, spectral=spectral, **leaves)
 
 
 _FAR_FUTURE = 1e30
