@@ -99,6 +99,20 @@ def eval_robustness_batch(
 
     for (kind, n_el, bucket), idxs in groups.items():
         t_start = time.perf_counter()
+        # tight clause padding: the clause loop inside synthesis costs
+        # proportionally to the padded slot count (corpus formulas have
+        # <= 3 clauses; 4 slots cover them at half the default-8 cost)
+        from pdec.stl.ast import formula_clauses
+
+        def n_cl(f):
+            return len(formula_clauses(f)) if f is not None else 0
+
+        group_max = 1
+        for i in idxs:
+            group_max = max(group_max, n_cl(parsed[i].formula))
+            if gt_formulas is not None:
+                group_max = max(group_max, n_cl(gt_formulas[i]))
+        mc = 4 if group_max <= 4 else 8
         systems = []
         specs = []
         score_specs = []
@@ -107,9 +121,9 @@ def eval_robustness_batch(
             prog = parsed[i]
             try:
                 sys_i = problem_from_program(prog, max_steps=bucket)
-                spec = compile_spec(prog.formula)
+                spec = compile_spec(prog.formula, mc, 2 * mc)
                 if gt_formulas is not None and gt_formulas[i] is not None:
-                    score_spec = compile_spec(gt_formulas[i])
+                    score_spec = compile_spec(gt_formulas[i], mc, 2 * mc)
                 else:
                     score_spec = spec
             except Exception:
