@@ -113,7 +113,10 @@ T0, W = t0w
 print(f"   W shape {W.shape} = {W.size*4/1e6:.0f} MB", flush=True)
 
 
-def affine_obj(theta):
+def affine_obj(theta, T0, W):
+    # T0/W must be ARGUMENTS: closing over 411 MB of concrete arrays bakes
+    # them into the HLO as constants (and overflows the tunnel's remote
+    # compile request)
     def per_problem(sys_i, t0_i, w_i, cl_i, pr_i, th_i):
         ts = trajectory_times(sys_i.dt, sys_i.n_steps, MAX_STEPS)
         ts_s = ts[::STRIDE]
@@ -131,7 +134,7 @@ def affine_obj(theta):
 
 
 timeit("F affine obj fwd+bwd        ",
-       jax.jit(jax.grad(affine_obj)), theta)
+       jax.jit(jax.grad(affine_obj)), theta, T0, W)
 
 # parity check: affine trajectory == spectral trajectory
 def one_traj_spectral(sys_i, th):

@@ -29,15 +29,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    src = os.path.join(_CPP_DIR, "editdistance.cc")
+    srcs = [
+        os.path.join(_CPP_DIR, "editdistance.cc"),
+        os.path.join(_CPP_DIR, "tokenizer.cc"),
+    ]
     so = os.path.join(_BUILD_DIR, "libpdec_native.so")
     try:
-        if not os.path.exists(so) or (
-            os.path.getmtime(src) > os.path.getmtime(so)
+        if not os.path.exists(so) or any(
+            os.path.getmtime(src) > os.path.getmtime(so) for src in srcs
         ):
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs,
+                 "-o", so],
                 check=True,
                 capture_output=True,
             )

@@ -91,6 +91,10 @@ class ContinuousEngine:
         slot_req = [-1] * self.n_slots  # request index per slot
         slot_tokens: List[List[int]] = [[] for _ in range(self.n_slots)]
         slot_lps: List[List[float]] = [[] for _ in range(self.n_slots)]
+        from pdec.cpp.tokenizer import StreamDecoder
+
+        slot_streams = [StreamDecoder(tok) for _ in range(self.n_slots)]
+        slot_fed = [0] * self.n_slots
         prev_tok = np.zeros((self.n_slots,), np.int32)
         key = jax.random.PRNGKey(gen.seed)
 
@@ -129,6 +133,8 @@ class ContinuousEngine:
             slot_tokens[slot] = [int(first[0])]
             slot_lps[slot] = [lp]
             prev_tok[slot] = int(first[0])
+            slot_streams[slot] = StreamDecoder(tok)
+            slot_fed[slot] = 0
 
         def finish(slot, reason):
             req = slot_req[slot]
@@ -159,8 +165,12 @@ class ContinuousEngine:
             if len(ids) >= gen.max_new_tokens:
                 return "length"
             if len(ids) % 8 == 0:
-                text = tok.decode(ids)
-                if any(s in text for s in gen.stop):
+                # incremental stop check: decode only tokens added since the
+                # last check (pdec.cpp.tokenizer.StreamDecoder)
+                sd = slot_streams[slot]
+                sd.feed(ids[slot_fed[slot]:])
+                slot_fed[slot] = len(ids)
+                if sd.stopped(gen.stop):
                     return "stop"
             return None
 

@@ -150,8 +150,33 @@ class InferenceEngine:
         prev = first_tok
         finished = np.asarray(first_tok) == eos_id
 
+        # incremental detokenizers: the periodic stop check decodes only
+        # the tokens generated since the previous check (pdec.cpp.tokenizer
+        # StreamDecoder), not the whole generation every time
+        from pdec.cpp.tokenizer import StreamDecoder
+
+        streams = [StreamDecoder(tok) for _ in range(n)]
+        done = np.zeros((bsz,), bool)
+        done[n:] = True
+        fed = 0
+
+        def check_stops(step_count) -> bool:
+            nonlocal fed
+            arr = np.stack(out_tokens, axis=1)
+            for i in range(n):
+                if done[i]:
+                    continue
+                ids = arr[i, fed:step_count]
+                if eos_id in ids.tolist():
+                    done[i] = True
+                    continue
+                streams[i].feed(ids)
+                if streams[i].stopped(gen.stop):
+                    done[i] = True
+            fed = step_count
+            return bool(done.all())
+
         check_every = 16
-        texts_cache = [""] * bsz
         for step in range(1, gen.max_new_tokens):
             key, k = jax.random.split(key)
             cache, prev, lp = self._decode_step(
@@ -161,9 +186,7 @@ class InferenceEngine:
             out_tokens.append(np.asarray(prev))
             out_lps.append(np.asarray(lp))
             if step % check_every == 0 or step == gen.max_new_tokens - 1:
-                arr = np.stack(out_tokens, axis=1)
-                finished = self._all_finished(arr, eos_id, gen.stop, n)
-                if finished:
+                if check_stops(step + 1):
                     break
 
         arr = np.stack(out_tokens, axis=1)  # [bsz, steps]
@@ -172,16 +195,6 @@ class InferenceEngine:
             self._finalize(arr[i], lps[i], eos_id, gen)
             for i in range(n)
         ]
-
-    def _all_finished(self, arr, eos_id, stop, n) -> bool:
-        for i in range(n):
-            ids = arr[i].tolist()
-            if eos_id in ids:
-                continue
-            text = self.tokenizer.decode(ids)
-            if not any(s in text for s in stop):
-                return False
-        return True
 
     def _finalize(self, ids, lps, eos_id, gen: GenerationConfig) -> Generation:
         ids = ids.tolist()

@@ -230,13 +230,21 @@ class ShardedEngine:
         for i in range(n, bsz):
             valid[i, :1] = True
 
+        from pdec.cpp.tokenizer import StreamDecoder
+
+        streams = [StreamDecoder(tok) for _ in range(n)]
+        fed = [0] * n
+
         def host_check(ids_so_far, fin):
+            # incremental: each row decodes only the tokens generated since
+            # its previous check (O(new bytes), not O(total))
             extra = np.zeros((bsz,), bool)
             for i in range(n):
                 if fin[i]:
                     continue
-                text = tok.decode(ids_so_far[i].tolist())
-                if any(s in text for s in gen.stop):
+                streams[i].feed(ids_so_far[i, fed[i]:])
+                fed[i] = ids_so_far.shape[1]
+                if streams[i].stopped(gen.stop):
                     extra[i] = True
             extra[n:] = True  # padding rows never need more tokens
             return extra
