@@ -21,6 +21,7 @@ from pdec.infer.engine import (
 )
 from pdec.infer.continuous import ContinuousEngine
 from pdec.infer.scoring import next_token_distribution, score_completions
+from pdec.infer.paged import PagedEngine
 from pdec.infer.sharded import ShardedDecoder, ShardedEngine
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "Generation",
     "InferenceEngine",
     "ContinuousEngine",
+    "PagedEngine",
     "ShardedDecoder",
     "ShardedEngine",
     "score_completions",

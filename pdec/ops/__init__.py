@@ -8,6 +8,7 @@ Replaces the reference's native kernel dependencies:
 """
 
 from pdec.ops.attention import attention
+from pdec.ops.paged_attention import paged_attention
 from pdec.ops.tridiag import thomas_solve
 
-__all__ = ["attention", "thomas_solve"]
+__all__ = ["attention", "paged_attention", "thomas_solve"]
