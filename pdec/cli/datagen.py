@@ -5,9 +5,16 @@ Replaces the reference's unshipped generator + ``simulate_gt.py``
 (one-Gurobi-call-at-a-time labeling, 300 s/example budget) with
 whole-batch synthesis labeling.
 
-Example (2M-sample scale is a matter of --n and wall clock):
+Single-file mode:
     python -m pdec.cli.datagen --kind heat --nc 1 --n 512 \\
         --out datasets/heat_nc1.jsonl --label
+
+Fleet (multi-host) mode — shards are deterministic in (seed, shard_id) and
+idempotent on disk, so a 2M-sample pod run is this same command on every
+host (see `pdec.pipeline.datagen_fleet`):
+    python -m pdec.cli.datagen --total 2000000 --n-shards 256 \\
+        --host-id $I --n-hosts $N --out-dir corpus/ --label
+    python -m pdec.cli.datagen --out-dir corpus/ --merge
 """
 
 from __future__ import annotations
@@ -26,13 +33,31 @@ def main(argv=None):
     p.add_argument("--nc", type=int, default=1, choices=[1, 2, 3])
     p.add_argument("--n", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None)
     p.add_argument("--label", action="store_true",
                    help="label with GT robustness via batched synthesis")
     p.add_argument("--batch", type=int, default=1024,
                    help="synthesis batch size per device dispatch")
     p.add_argument("--no-disjunction", action="store_true")
+    # fleet mode
+    p.add_argument("--out-dir", default=None,
+                   help="fleet mode: shard output directory")
+    p.add_argument("--total", type=int, default=None,
+                   help="fleet mode: total corpus rows across all shards")
+    p.add_argument("--n-shards", type=int, default=None,
+                   help="fleet mode: shard count (default: 1 per 8192 rows)")
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--n-hosts", type=int, default=1)
+    p.add_argument("--high-quality", action="store_true",
+                   help="SynthesisConfig.high() labeling")
+    p.add_argument("--merge", action="store_true",
+                   help="fleet mode: merge completed shards + stats")
     args = p.parse_args(argv)
+
+    if args.out_dir is not None:
+        return _fleet_main(args)
+    if args.out is None:
+        p.error("--out is required (or --out-dir for fleet mode)")
 
     from pdec.data.generator import GeneratorConfig, render_example, sample_problem
 
@@ -67,6 +92,39 @@ def main(argv=None):
         for row in rows:
             f.write(json.dumps(row) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
+
+
+
+def _fleet_main(args):
+    from pdec.pipeline.datagen_fleet import (
+        host_shards, merge_shards, run_shard,
+    )
+
+    if args.merge:
+        stats = merge_shards(args.out_dir)
+        print(json.dumps(stats, indent=2))
+        return
+
+    if args.total is None:
+        raise SystemExit("--total is required in fleet mode")
+    n_shards = args.n_shards or max(1, (args.total + 8191) // 8192)
+    mine = host_shards(n_shards, args.host_id, args.n_hosts)
+    print(f"host {args.host_id}/{args.n_hosts}: shards {mine}",
+          file=sys.stderr)
+    t0 = time.time()
+    done = 0
+    for shard_id in mine:
+        run_shard(
+            shard_id, n_shards, args.total, args.out_dir, seed=args.seed,
+            label=args.label, batch=args.batch,
+            high_quality=args.high_quality,
+            log=lambda m: print(m, file=sys.stderr),
+        )
+        done += 1
+        rate = done / max(time.time() - t0, 1e-9)
+        eta = (len(mine) - done) / max(rate, 1e-9)
+        print(f"host {args.host_id}: {done}/{len(mine)} shards, "
+              f"ETA {eta/60:.1f} min", file=sys.stderr)
 
 
 if __name__ == "__main__":
