@@ -53,8 +53,14 @@ def main(argv=None):
     p.add_argument("--base", required=True,
                    help="HF checkpoint dir, or preset name (e.g. TINY) for "
                         "random init")
+    p.add_argument("--tokenizer", default=None,
+                   help="NativeBPETokenizer json (pdec.cpp.tokenizer); "
+                        "enables from-scratch presets on text data — the "
+                        "preset's vocab_size is replaced by the tokenizer's")
     p.add_argument("--run-dir", default="runs/train")
-    p.add_argument("--prompt-format", default="to_STL")
+    p.add_argument("--prompt-format", nargs="+", default=["to_STL"],
+                   help="one or more train formats; with several, rows are "
+                        "split round-robin (multi-format coder training)")
     p.add_argument("--max-len", type=int, default=4096)
     p.add_argument("--micro-batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=3000)
@@ -92,9 +98,17 @@ def main(argv=None):
 
     # ---- model -----------------------------------------------------------
     if hasattr(model_configs, args.base):
+        import dataclasses as _dc
+
         model_cfg = getattr(model_configs, args.base)
-        params = init_params(jax.random.PRNGKey(0), model_cfg)
         tokenizer = None
+        if args.tokenizer:
+            from pdec.cpp.tokenizer import NativeBPETokenizer
+
+            tokenizer = NativeBPETokenizer.load(args.tokenizer)
+            model_cfg = _dc.replace(model_cfg,
+                                    vocab_size=tokenizer.vocab_size)
+        params = init_params(jax.random.PRNGKey(0), model_cfg)
     else:
         from transformers import AutoTokenizer
 
@@ -103,8 +117,8 @@ def main(argv=None):
         model_cfg, params = load_hf_checkpoint(args.base)
         tokenizer = AutoTokenizer.from_pretrained(args.base)
     if tokenizer is None:
-        raise SystemExit("random-init presets need --data already tokenized; "
-                         "use an HF --base for text data")
+        raise SystemExit("random-init presets need --tokenizer (native BPE "
+                         "json) for text data; or use an HF --base")
 
     # ---- mesh ------------------------------------------------------------
     if args.mesh:
@@ -125,7 +139,10 @@ def main(argv=None):
 
     train_cfg = cfg.train
     if args.mode == "sft":
-        prompts = create_prompt(rows, args.prompt_format)
+        fmts = args.prompt_format
+        prompts = []
+        for k, fmt in enumerate(fmts):
+            prompts.extend(create_prompt(rows[k::len(fmts)], fmt))
         tokenized = tokenize_sft(prompts, tokenizer)
         packed = pack_sequences(
             tokenized, args.max_len, tokenizer.pad_token_id or 0

@@ -52,6 +52,19 @@ SMALL = ModelConfig(
     max_seq=1024,
 )
 
+# From-scratch demonstration scale (~57M params at vocab 8192): used by
+# scripts/real_run.py to train translator/coder on generated corpus data
+# with the native BPE tokenizer (vocab_size is replaced by the tokenizer's).
+BASE = ModelConfig(
+    vocab_size=8192,
+    d_model=640,
+    n_layers=10,
+    n_heads=10,
+    n_kv_heads=5,
+    d_ff=1792,
+    max_seq=1024,
+)
+
 # Minimal config for unit tests.
 TINY = ModelConfig(
     vocab_size=256,

@@ -1,0 +1,200 @@
+"""End-to-end real-model run: corpus -> tokenizer -> train -> eval -> tables.
+
+The reference's spine at real scale (``run_training.sh`` + ``run_testing.sh``)
+executed in-repo: generate a corpus with the datagen fleet, train the native
+BPE tokenizer on it, train translator and coder models from scratch, then
+run the reference eval protocol over the committed 6x512 test suite
+(0/2-shot, temperature 0.2 — ``test_pdecontrol.sh:29-36``) and aggregate
+the 15-metric tables.  Stages are idempotent; artifacts land under
+``--root`` (default runs/real).
+
+    python scripts/real_run.py all            # everything, in order
+    python scripts/real_run.py corpus|tokenizer|train|eval|aggregate
+
+Smoke mode (CI-sized, CPU): --preset TINY --corpus-n 512 --steps 20
+--eval-max 4 --vocab 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ROLES = {
+    # role -> training prompt formats (reference tokenize_data.py:156-162)
+    "translator": ["to_STL"],
+    "coder": ["to_python_no_STL", "to_python_GT_STL"],
+}
+EVAL_METHODS = ["to_STL", "to_python_no_STL", "to_python_two_step"]
+DATASETS = ["heat_nc1_512", "heat_nc2_512", "heat_nc3_512",
+            "wave_nc1_512", "wave_nc2_512", "wave_nc3_512"]
+
+
+def stage_corpus(args):
+    from pdec.pipeline.datagen_fleet import merge_shards, run_shard
+
+    out = os.path.join(args.root, "corpus")
+    n_shards = max(1, args.corpus_n // 8192)
+    for s in range(n_shards):
+        run_shard(s, n_shards, args.corpus_n, out, seed=args.seed,
+                  label=False)
+    stats = merge_shards(out)
+    print(json.dumps(stats, indent=2))
+
+
+def _corpus_path(args):
+    return os.path.join(args.root, "corpus", "corpus.jsonl")
+
+
+def _tok_path(args):
+    return os.path.join(args.root, "tokenizer.json")
+
+
+def stage_tokenizer(args):
+    from pdec.cpp.tokenizer import NativeBPETokenizer
+    from pdec.data.prompts import format_train_prompt
+
+    rows = [json.loads(l) for l in open(_corpus_path(args)) if l.strip()]
+    texts = []
+    for r in rows[:20000]:
+        texts.append(format_train_prompt(
+            "train_nl_and_sstl_to_python", r["nl"], r["sstl"], r["python"]
+        ) + r["python"])
+    tok = NativeBPETokenizer.train(texts, vocab_size=args.vocab)
+    tok.save(_tok_path(args))
+    sample = texts[0][:200]
+    assert tok.decode(tok.encode(sample, add_special_tokens=False)) == sample
+    print(f"tokenizer: vocab {tok.vocab_size} -> {_tok_path(args)}")
+
+
+def stage_train(args, roles=None):
+    from pdec.cli.train import main as train_main
+
+    for role in roles or ROLES:
+        run_dir = os.path.join(args.root, role)
+        argv = [
+            "--mode", "sft",
+            "--data", _corpus_path(args),
+            "--base", args.preset,
+            "--tokenizer", _tok_path(args),
+            "--run-dir", run_dir,
+            "--prompt-format", *ROLES[role],
+            "--max-len", str(args.max_len),
+            "--micro-batch", str(args.micro_batch),
+            "--steps", str(args.steps),
+            "--save-interval", str(max(args.steps // 3, 1)),
+            "--full-finetune",
+            f"train.learning_rate={args.lr}",
+            f"train.grad_accum={args.grad_accum}",
+            f"train.warmup_steps={min(50, max(args.steps // 10, 1))}",
+        ]
+        print(f"== training {role}: {' '.join(argv)}", flush=True)
+        train_main(argv)
+
+
+def _load_role(args, role):
+    import dataclasses
+
+    import jax
+
+    import pdec.models.config as model_configs
+    from pdec.cpp.tokenizer import NativeBPETokenizer
+    from pdec.models.transformer import init_params
+    from pdec.runtime.checkpoint import CheckpointManager
+
+    tok = NativeBPETokenizer.load(_tok_path(args))
+    cfg = dataclasses.replace(
+        getattr(model_configs, args.preset), vocab_size=tok.vocab_size
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = CheckpointManager(os.path.join(args.root, role))
+    latest = ckpt.find_latest()
+    if latest is None:
+        raise SystemExit(f"no checkpoint for {role} under {args.root}")
+    like = {"params": params}
+    if "checkpoint-step-" in os.path.basename(latest):
+        state = ckpt.restore_step(latest, like)
+    else:
+        state = ckpt.restore(latest, like)
+    print(f"{role}: restored {latest}")
+    return state["params"], cfg, tok
+
+
+def stage_eval(args):
+    from pdec.infer.engine import InferenceEngine
+    from pdec.pipeline.evaluate import EvalDriver
+    from pdec.pipeline.sweep import run_sweep
+
+    engines = {}
+    for role in ROLES:
+        params, cfg, tok = _load_role(args, role)
+        engines[role] = InferenceEngine(params, cfg, tok,
+                                        max_len=args.max_len)
+    driver = EvalDriver(
+        engines,
+        temperature=args.temperature,
+        max_new_tokens=args.max_new_tokens,
+        n_repeat_sampling=args.repeats,
+    )
+    dataset_paths = {
+        name: os.path.join("datasets", "test", name, "test.jsonl")
+        for name in args.datasets
+    }
+    out_dir = os.path.join(args.root, "eval")
+    run_sweep(
+        driver, dataset_paths, args.methods, shots_list=args.shots,
+        seed=args.seed, out_dir=out_dir,
+        max_num_examples=args.eval_max,
+    )
+
+
+def stage_aggregate(args):
+    from pdec.pipeline.aggregate import write_reports
+
+    out_dir = os.path.join(args.root, "eval")
+    for path in write_reports(out_dir):
+        print(f"==== {path} ====")
+        print(open(path).read())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("stage", choices=["all", "corpus", "tokenizer", "train",
+                                     "eval", "aggregate"])
+    p.add_argument("--root", default="runs/real")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--preset", default="BASE")
+    p.add_argument("--corpus-n", type=int, default=65536)
+    p.add_argument("--vocab", type=int, default=8192)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--micro-batch", type=int, default=8)
+    p.add_argument("--grad-accum", type=int, default=4)
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--temperature", type=float, default=0.2)
+    p.add_argument("--repeats", type=int, default=1)
+    p.add_argument("--eval-max", type=int, default=512)
+    p.add_argument("--shots", type=int, nargs="+", default=[0, 2])
+    p.add_argument("--methods", nargs="+", default=EVAL_METHODS)
+    p.add_argument("--datasets", nargs="+", default=DATASETS)
+    p.add_argument("--role", nargs="+", default=None,
+                   help="train only these roles")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.root, exist_ok=True)
+    stages = (["corpus", "tokenizer", "train", "eval", "aggregate"]
+              if args.stage == "all" else [args.stage])
+    for s in stages:
+        if s == "train":
+            stage_train(args, roles=args.role)
+        else:
+            globals()[f"stage_{s}"](args)
+
+
+if __name__ == "__main__":
+    main()
