@@ -131,7 +131,9 @@ def clause_vals_of(traj, tb, tau):
 
 
 def stage(fn):
-    def outer(theta):
+    # T0/W/TB must be ARGUMENTS of the jitted fn (closing over 400+ MB of
+    # concrete arrays bakes them into the HLO -> tunnel compile 413)
+    def outer(theta, T0, W, TB):
         def per_problem(t0_i, w_i, tb_i, pr_i, sys_i, th_i):
             def per_start(th):
                 u = sys_i.u_scale * jnp.tanh(th)
@@ -139,7 +141,8 @@ def stage(fn):
                 return fn(traj, tb_i, pr_i)
             return jax.vmap(per_start)(th_i)
         return jnp.sum(jax.vmap(per_problem)(T0, W, TB, pr, systems, theta))
-    return jax.jit(jax.grad(outer))
+    g = jax.jit(jax.grad(outer))
+    return lambda theta: g(theta, T0, W, TB)
 
 
 timeit("H1 traj only          ", stage(lambda tr, tb, pr_i: jnp.sum(tr)),
@@ -169,7 +172,7 @@ def full_fast(tr, tb, pr_i):
 timeit("H5 +RPN (full fast)   ", stage(full_fast), theta)
 
 
-def full_ref(theta):
+def full_ref(theta, T0=T0, W=W):
     def per_problem(t0_i, w_i, cl_i, pr_i, sys_i, th_i):
         ts = trajectory_times(sys_i.dt, sys_i.n_steps, MAX_STEPS)[::STRIDE]
 
@@ -181,10 +184,11 @@ def full_ref(theta):
     return jnp.sum(jax.vmap(per_problem)(T0, W, cl, pr, systems, theta))
 
 
-timeit("H6 full via semantics ", jax.jit(jax.grad(full_ref)), theta)
+_h6 = jax.jit(jax.grad(full_ref))
+timeit("H6 full via semantics ", lambda th: _h6(th, T0, W), theta)
 
 # numeric parity H5 vs H6 (values, not grads)
-def vals_fast(theta):
+def vals_fast(theta, T0=T0, W=W, TB=TB):
     def per_problem(t0_i, w_i, tb_i, pr_i, sys_i, th_i):
         def per_start(th):
             u = sys_i.u_scale * jnp.tanh(th)
@@ -194,7 +198,7 @@ def vals_fast(theta):
     return jax.vmap(per_problem)(T0, W, TB, pr, systems, theta)
 
 
-def vals_ref(theta):
+def vals_ref(theta, T0=T0, W=W):
     def per_problem(t0_i, w_i, cl_i, pr_i, sys_i, th_i):
         ts = trajectory_times(sys_i.dt, sys_i.n_steps, MAX_STEPS)[::STRIDE]
 
@@ -206,7 +210,9 @@ def vals_ref(theta):
     return jax.vmap(per_problem)(T0, W, cl, pr, systems, theta)
 
 
-a = np.asarray(jax.jit(vals_fast)(theta))
-b = np.asarray(jax.jit(vals_ref)(theta))
+_vf = jax.jit(vals_fast)
+a = np.asarray(_vf(theta, T0, W, TB))
+_vr = jax.jit(vals_ref)
+b = np.asarray(_vr(theta, T0, W))
 print(f"H5 vs H6 max abs diff: {np.max(np.abs(a - b)):.3e} "
       f"(mean |v| {np.mean(np.abs(b)):.2f})", flush=True)

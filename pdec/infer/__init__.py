@@ -21,6 +21,7 @@ from pdec.infer.engine import (
 )
 from pdec.infer.continuous import ContinuousEngine
 from pdec.infer.scoring import next_token_distribution, score_completions
+from pdec.infer.openai_engine import OpenAIEngine
 from pdec.infer.paged import PagedEngine
 from pdec.infer.sharded import ShardedDecoder, ShardedEngine
 
@@ -29,6 +30,7 @@ __all__ = [
     "Generation",
     "InferenceEngine",
     "ContinuousEngine",
+    "OpenAIEngine",
     "PagedEngine",
     "ShardedDecoder",
     "ShardedEngine",

@@ -133,6 +133,8 @@ def decode_step_paged(params, lora, tokens, pool_k, pool_v, block_tables,
     )
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    if isinstance(head, dict):  # int8 weight-only (pdec.models.quantize)
+        head = (head["q"].astype(jnp.float32) * head["scale"]).astype(x.dtype)
     logits = jnp.einsum("std,dv->stv", x, head)[:, 0]
     return logits, pool_k, pool_v
 

@@ -25,6 +25,10 @@ from pdec.models.transformer import (
     init_kv_cache,
     param_shardings,
 )
+from pdec.models.quantize import (
+    dequantize_params,
+    quantize_params,
+)
 from pdec.models.lora import (
     init_lora,
     lora_shardings,
@@ -32,6 +36,8 @@ from pdec.models.lora import (
 )
 
 __all__ = [
+    "quantize_params",
+    "dequantize_params",
     "ModelConfig",
     "DEEPSEEK_7B",
     "TINY",

@@ -113,7 +113,13 @@ def rope(x, positions, theta):
 
 
 def _maybe_lora(name, x, w, lora, scale_key="scale"):
-    """y = x @ w (+ LoRA delta if a factored pair is present)."""
+    """y = x @ w (+ LoRA delta if a factored pair is present).
+
+    ``w`` may be an int8 weight-only quantized leaf (``{"q", "scale"}``,
+    `pdec.models.quantize`); the dequant multiply fuses into the matmul's
+    operand read under XLA."""
+    if isinstance(w, dict):
+        w = (w["q"].astype(jnp.float32) * w["scale"]).astype(x.dtype)
     y = jnp.einsum("btd,df->btf", x, w)
     if lora is not None and name in lora:
         a, b = lora[name]["a"], lora[name]["b"]
@@ -232,6 +238,8 @@ def forward(
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    if isinstance(head, dict):  # int8 weight-only (pdec.models.quantize)
+        head = (head["q"].astype(jnp.float32) * head["scale"]).astype(x.dtype)
     logits = jnp.einsum("btd,dv->btv", x, head)
     return logits, new_cache
 
