@@ -193,32 +193,42 @@ def _run_rpn(clause_vals, program, and2, or2):
 
     Fixed-depth value stack scanned over program tokens — compiles once for
     every formula shape (no data-dependent Python control flow).
+
+    PERFORMANCE NOTE (round-2 measured): the natural formulation —
+    ``lax.switch`` over opcode branches with ``stack.at[sp].set`` — lowers,
+    under ``vmap`` with per-instance programs, to per-instance dynamic
+    scatters/gathers, which serialize on TPU and dominated the whole
+    synthesis iteration (~270 of 340 ms at 12k instances; see
+    benchmarks/microbench_rob2.py).  This version is arithmetically
+    identical but scatter-free: stack reads/writes go through one-hot
+    masks (vectorized compares + selects) and the opcode dispatch is a
+    pair of ``where``s, so the vmapped step is pure elementwise work.
     """
+    depth = STACK_DEPTH
+    idx = jnp.arange(depth)
+    cidx = jnp.arange(clause_vals.shape[0])
+    zero = jnp.zeros((), dtype=clause_vals.dtype)
 
     def step(carry, token):
         stack, sp = carry
         op, arg = token[0], token[1]
 
-        def do_nop(stack, sp):
-            return stack, sp
+        v1 = jnp.sum(jnp.where(idx == sp - 1, stack, zero))  # stack[sp-1]
+        v2 = jnp.sum(jnp.where(idx == sp - 2, stack, zero))  # stack[sp-2]
+        push_val = jnp.sum(jnp.where(cidx == arg, clause_vals, zero))
 
-        def do_push(stack, sp):
-            return stack.at[sp].set(clause_vals[arg]), sp + 1
+        is_push = op == OP_PUSH
+        is_and = op == OP_AND
+        is_or = op == OP_OR
+        junc = jnp.where(is_and, and2(v2, v1), or2(v2, v1))
 
-        def do_and(stack, sp):
-            r = and2(stack[sp - 2], stack[sp - 1])
-            return stack.at[sp - 2].set(r), sp - 1
-
-        def do_or(stack, sp):
-            r = or2(stack[sp - 2], stack[sp - 1])
-            return stack.at[sp - 2].set(r), sp - 1
-
-        stack, sp = jax.lax.switch(
-            jnp.clip(op, 0, 3),
-            [do_nop, do_push, do_and, do_or],
-            stack,
-            sp,
-        )
+        write_pos = jnp.where(is_push, sp, sp - 2)
+        write_val = jnp.where(is_push, push_val, junc)
+        do_write = is_push | is_and | is_or
+        stack = jnp.where((idx == write_pos) & do_write, write_val, stack)
+        sp = sp + jnp.where(
+            is_push, 1, jnp.where(is_and | is_or, -1, 0)
+        ).astype(sp.dtype)
         return (stack, sp), None
 
     init = (jnp.zeros((STACK_DEPTH,), dtype=clause_vals.dtype), jnp.int32(0))
