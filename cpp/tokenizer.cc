@@ -18,6 +18,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <queue>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -98,34 +100,50 @@ long long pdec_tok_encode(void* h, const uint8_t* text, long long n,
     if (id < 0) return -2;
     ids.push_back(id);
   }
-  // Greedy lowest-rank merge loop.  next[i]/prev[i] emulate a linked list
-  // so a merge is O(1); each pass scans live nodes for the best pair.
-  // O(n * n_merges_applied) worst case — fine at prompt lengths (<= 16k).
+  // Greedy lowest-rank merge via a lazy min-heap: pop the globally best
+  // (rank, leftmost) candidate, revalidate against the live linked list,
+  // apply, and push the two pairs the merge created.  O(n log n) vs the
+  // naive rescan-per-merge O(n * merges) — the difference between seconds
+  // and an hour when tokenizing a 65k-row corpus.  Identical output to the
+  // rescan loop: both always apply the global (rank, position) minimum.
   const long long m = static_cast<long long>(ids.size());
   std::vector<long long> next(m), prev(m);
   for (long long i = 0; i < m; ++i) { next[i] = i + 1; prev[i] = i - 1; }
-  bool changed = !ids.empty();
-  while (changed) {
-    changed = false;
-    long long best_pos = -1;
-    int64_t best_rank = INT64_MAX;
-    for (long long i = 0; i != m && i >= 0; i = next[i]) {
-      const long long j = next[i];
-      if (j >= m) break;
-      const auto it = t->merges.find(pair_key(ids[i], ids[j]));
-      if (it != t->merges.end()) {
-        const int64_t rank = it->second >> 32;
-        if (rank < best_rank) { best_rank = rank; best_pos = i; }
-      }
+
+  struct Cand {
+    int64_t rank;
+    long long pos;
+    int32_t l, r;  // pair snapshot for lazy invalidation
+    bool operator>(const Cand& o) const {
+      return rank != o.rank ? rank > o.rank : pos > o.pos;
     }
-    if (best_pos >= 0) {
-      const long long i = best_pos, j = next[i];
-      const auto it = t->merges.find(pair_key(ids[i], ids[j]));
-      ids[i] = static_cast<int32_t>(it->second & 0xffffffff);
-      next[i] = next[j];
-      if (next[j] < m) prev[next[j]] = i;
-      changed = true;
+  };
+  std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> heap;
+  auto push_pair = [&](long long i) {
+    const long long j = next[i];
+    if (i < 0 || i >= m || j >= m) return;
+    const auto it = t->merges.find(pair_key(ids[i], ids[j]));
+    if (it != t->merges.end()) {
+      heap.push({it->second >> 32, i, ids[i], ids[j]});
     }
+  };
+  std::vector<bool> dead(m, false);
+  for (long long i = 0; i + 1 < m; ++i) push_pair(i);
+  while (!heap.empty()) {
+    const Cand c = heap.top();
+    heap.pop();
+    const long long i = c.pos, j = next[i];
+    // stale if either node died or the pair's token ids changed
+    if (dead[i] || j >= m || dead[j] || ids[i] != c.l || ids[j] != c.r) {
+      continue;
+    }
+    const auto it = t->merges.find(pair_key(ids[i], ids[j]));
+    ids[i] = static_cast<int32_t>(it->second & 0xffffffff);
+    dead[j] = true;
+    next[i] = next[j];
+    if (next[j] < m) prev[next[j]] = i;
+    push_pair(prev[i]);
+    push_pair(i);
   }
   long long count = 0;
   for (long long i = 0; i != m && i >= 0; i = next[i]) {

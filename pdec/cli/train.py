@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 
 
@@ -68,6 +69,12 @@ def main(argv=None):
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=256.0)
     p.add_argument("--full-finetune", action="store_true")
+    p.add_argument("--init-from", default=None,
+                   help="run dir of a previous training run; base params "
+                        "are restored from its latest checkpoint "
+                        "(weights-only) before training — the reference's "
+                        "DPO-over-SFT flow, run_dpo_train.sh:12 starting "
+                        "from the SFT translator checkpoint")
     p.add_argument("--mesh", type=int, nargs=3, default=None,
                    metavar=("DATA", "FSDP", "TP"))
     p.add_argument("overrides", nargs="*", help="config overrides a.b=c")
@@ -119,6 +126,14 @@ def main(argv=None):
     if tokenizer is None:
         raise SystemExit("random-init presets need --tokenizer (native BPE "
                          "json) for text data; or use an HF --base")
+
+    if args.init_from:
+        src = CheckpointManager(args.init_from)
+        latest = src.find_latest()
+        if latest is None:
+            raise SystemExit(f"--init-from {args.init_from}: no checkpoint")
+        params = src.restore_params(latest, params)
+        logger.info("initialized params from %s", latest)
 
     # ---- mesh ------------------------------------------------------------
     if args.mesh:

@@ -84,6 +84,23 @@ class CheckpointManager:
             state["opt_state"] = self._ckpt.restore(opt_path, like["opt_state"])
         return state
 
+    def restore_weights(self, path: str) -> Dict[str, Any]:
+        """Template-free restore of the weight subtrees (params + adapters).
+
+        Works for both streams: persistent ``checkpoint-step-N`` (weights
+        sub-checkpoint) and rotating ``backups/checkpoint-N`` (full state,
+        whose optimizer-state structure the caller need not reconstruct —
+        orbax restores the saved tree as-is and we drop ``opt_state``).
+        """
+        if "checkpoint-step-" in os.path.basename(path):
+            return dict(self._ckpt.restore(os.path.join(path, "weights")))
+        full = self._ckpt.restore(path)
+        return {k: v for k, v in full.items() if k != "opt_state"}
+
+    def restore_params(self, path: str, like_params: Any = None) -> Any:
+        """Restore only the ``params`` subtree from any checkpoint layout."""
+        return self.restore_weights(path)["params"]
+
     # -- restore -----------------------------------------------------------
 
     def find_latest(self) -> Optional[str]:

@@ -1,15 +1,17 @@
 """End-to-end real-model run: corpus -> tokenizer -> train -> eval -> tables.
 
-The reference's spine at real scale (``run_training.sh`` + ``run_testing.sh``)
-executed in-repo: generate a corpus with the datagen fleet, train the native
-BPE tokenizer on it, train translator and coder models from scratch, then
-run the reference eval protocol over the committed 6x512 test suite
-(0/2-shot, temperature 0.2 — ``test_pdecontrol.sh:29-36``) and aggregate
-the 15-metric tables.  Stages are idempotent; artifacts land under
-``--root`` (default runs/real).
+The reference's spine at real scale (``run_training.sh`` + ``run_testing.sh``
++ ``run_dpo_train.sh``) executed in-repo: generate a corpus with the datagen
+fleet, train the native BPE tokenizer on it, train translator and coder
+models from scratch, DPO-train a controller on utility-scored preference
+pairs (starting from the translator checkpoint, the reference's
+DPO-over-SFT flow), then run the reference eval protocol over the committed
+6x512 test suite (0/2-shot, temperature 0.2 — ``test_pdecontrol.sh:29-36``)
+and aggregate the 15-metric tables.  Stages are idempotent; artifacts land
+under ``--root`` (default runs/real).
 
     python scripts/real_run.py all            # everything, in order
-    python scripts/real_run.py corpus|tokenizer|train|eval|aggregate
+    python scripts/real_run.py corpus|tokenizer|train|dpo_data|dpo|eval|aggregate
 
 Smoke mode (CI-sized, CPU): --preset TINY --corpus-n 512 --steps 20
 --eval-max 4 --vocab 512
@@ -96,6 +98,66 @@ def stage_train(args, roles=None):
         train_main(argv)
 
 
+def _dpo_data_path(args):
+    return os.path.join(args.root, "dpo_pairs.jsonl")
+
+
+def stage_dpo_data(args):
+    """Utility-scored preference pairs for controller DPO training
+    (reference DPO dataset schema, ``loader.py:265``; pairs built from
+    scratch with batched synthesis — see pdec.pipeline.dpo_datagen)."""
+    from pdec.cli.dpo_datagen import main as dpo_datagen_main
+
+    out = _dpo_data_path(args)
+    if os.path.exists(out):
+        print(f"dpo_data: {out} exists, skipping")
+        return
+    tmp_paths = []
+    per_family = max(args.dpo_n // 6, 8)
+    for kind in ("heat", "wave"):
+        for nc in (1, 2, 3):
+            path = os.path.join(args.root, f"dpo_{kind}_nc{nc}.jsonl")
+            if not os.path.exists(path):
+                dpo_datagen_main([
+                    "--kind", kind, "--nc", str(nc),
+                    "--n", str(per_family), "--candidates", "4",
+                    "--seed", str(args.seed), "--out", path,
+                ])
+            tmp_paths.append(path)
+    with open(out, "w") as f:
+        for path in tmp_paths:
+            with open(path) as g:
+                f.write(g.read())
+    n = sum(1 for _ in open(out))
+    print(f"dpo_data: {n} preference pairs -> {out}")
+
+
+def stage_dpo(args):
+    """DPO-train the controller: policy LoRA over the SFT translator
+    checkpoint (reference ``run_dpo_train.sh:12-16``, 2-adapter design)."""
+    from pdec.cli.train import main as train_main
+
+    run_dir = os.path.join(args.root, "controller")
+    argv = [
+        "--mode", "dpo",
+        "--data", _dpo_data_path(args),
+        "--base", args.preset,
+        "--tokenizer", _tok_path(args),
+        "--init-from", os.path.join(args.root, "translator"),
+        "--run-dir", run_dir,
+        "--max-len", str(args.max_len),
+        "--micro-batch", str(max(args.micro_batch // 8, 1)),
+        "--steps", str(args.dpo_steps),
+        "--save-interval", str(max(args.dpo_steps // 3, 1)),
+        "--lora-rank", "32", "--lora-alpha", "64",
+        f"train.learning_rate={args.lr / 10}",
+        "train.grad_accum=8",
+        f"train.warmup_steps={min(50, max(args.dpo_steps // 10, 1))}",
+    ]
+    print(f"== training controller (dpo): {' '.join(argv)}", flush=True)
+    train_main(argv)
+
+
 def _load_role(args, role):
     import dataclasses
 
@@ -115,13 +177,16 @@ def _load_role(args, role):
     latest = ckpt.find_latest()
     if latest is None:
         raise SystemExit(f"no checkpoint for {role} under {args.root}")
-    like = {"params": params}
-    if "checkpoint-step-" in os.path.basename(latest):
-        state = ckpt.restore_step(latest, like)
-    else:
-        state = ckpt.restore(latest, like)
+    weights = ckpt.restore_weights(latest)
+    restored = weights["params"]
+    if role == "controller" and weights.get("lora") is not None:
+        # DPO checkpoint: frozen SFT base + policy LoRA -> serve merged
+        # (reference merge_model.py before vLLM serving)
+        from pdec.models.lora import merge_lora
+
+        restored = merge_lora(restored, weights["lora"])
     print(f"{role}: restored {latest}")
-    return state["params"], cfg, tok
+    return restored, cfg, tok
 
 
 def stage_eval(args):
@@ -129,8 +194,15 @@ def stage_eval(args):
     from pdec.pipeline.evaluate import EvalDriver
     from pdec.pipeline.sweep import run_sweep
 
+    roles = list(ROLES)
+    methods = list(args.methods)
+    if os.path.isdir(os.path.join(args.root, "controller")):
+        roles.append("controller")
+        for m in ("full_pipeline", "reasoning_only"):
+            if m not in methods:
+                methods.append(m)
     engines = {}
-    for role in ROLES:
+    for role in roles:
         params, cfg, tok = _load_role(args, role)
         engines[role] = InferenceEngine(params, cfg, tok,
                                         max_len=args.max_len)
@@ -146,7 +218,7 @@ def stage_eval(args):
     }
     out_dir = os.path.join(args.root, "eval")
     run_sweep(
-        driver, dataset_paths, args.methods, shots_list=args.shots,
+        driver, dataset_paths, methods, shots_list=args.shots,
         seed=args.seed, out_dir=out_dir,
         max_num_examples=args.eval_max,
     )
@@ -164,13 +236,16 @@ def stage_aggregate(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=["all", "corpus", "tokenizer", "train",
-                                     "eval", "aggregate"])
+                                     "dpo_data", "dpo", "eval", "aggregate"])
     p.add_argument("--root", default="runs/real")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", default="BASE")
     p.add_argument("--corpus-n", type=int, default=65536)
     p.add_argument("--vocab", type=int, default=8192)
     p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--dpo-n", type=int, default=1536,
+                   help="DPO datagen problems (4 candidates each)")
+    p.add_argument("--dpo-steps", type=int, default=600)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--micro-batch", type=int, default=8)
     p.add_argument("--grad-accum", type=int, default=4)
@@ -187,7 +262,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     os.makedirs(args.root, exist_ok=True)
-    stages = (["corpus", "tokenizer", "train", "eval", "aggregate"]
+    stages = (["corpus", "tokenizer", "train", "dpo_data", "dpo", "eval",
+               "aggregate"]
               if args.stage == "all" else [args.stage])
     for s in stages:
         if s == "train":

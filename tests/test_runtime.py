@@ -88,3 +88,25 @@ class TestCheckpoints:
             {"params": {"w": jnp.zeros((2,))}, "opt_state": {"m": jnp.zeros((2,))}},
         )
         assert "opt_state" in full
+
+    def test_restore_weights_template_free(self, tmp_path):
+        """restore_weights works on BOTH streams without reconstructing the
+        optimizer-state template (the --init-from / eval-loader path)."""
+        mgr = CheckpointManager(str(tmp_path))
+        state = {
+            "params": {"w": jnp.full((3,), 7.0)},
+            "lora": {"a": jnp.full((2,), 2.0)},
+            "opt_state": {"m": jnp.zeros((3,))},
+        }
+        mgr.save_backup(10, state)
+        mgr.save_step(10, state)
+
+        for path in (
+            os.path.join(mgr.backups_dir, "checkpoint-10"),
+            os.path.join(str(tmp_path), "checkpoint-step-10"),
+        ):
+            w = mgr.restore_weights(path)
+            assert "opt_state" not in w
+            assert float(w["params"]["w"][0]) == 7.0
+            assert float(w["lora"]["a"][0]) == 2.0
+            assert float(mgr.restore_params(path)["w"][1]) == 7.0
