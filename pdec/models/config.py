@@ -65,6 +65,20 @@ BASE = ModelConfig(
     max_seq=1024,
 )
 
+# ~0.5B from-scratch scale (0.50B params at vocab 8192): the real-run
+# flagship size — large enough that training and serving exercise the
+# production memory/throughput paths on a v5e chip, small enough to train
+# to convergence on generated data in one session.
+MID = ModelConfig(
+    vocab_size=8192,
+    d_model=1536,
+    n_layers=16,
+    n_heads=12,
+    n_kv_heads=4,
+    d_ff=4608,
+    max_seq=1024,
+)
+
 # Minimal config for unit tests.
 TINY = ModelConfig(
     vocab_size=256,
