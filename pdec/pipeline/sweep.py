@@ -32,6 +32,7 @@ def run_sweep(
     seed: int = 0,
     out_dir: str = "runs/eval",
     max_num_examples: Optional[int] = 512,
+    skip_existing_scores: bool = False,
 ):
     """Sweep with wall-clock ETA logging (reference
     ``test_pdecontrol.sh:81-96``)."""
@@ -49,6 +50,7 @@ def run_sweep(
         res = driver.run(
             items, eval_method=method, shots=shots, seed=seed,
             dataset_name=name, out_dir=out_dir,
+            skip_existing_scores=skip_existing_scores,
         )
         results[(name, method, shots)] = res.metrics
         elapsed = time.time() - t0

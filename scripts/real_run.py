@@ -221,6 +221,7 @@ def stage_eval(args):
         driver, dataset_paths, methods, shots_list=args.shots,
         seed=args.seed, out_dir=out_dir,
         max_num_examples=args.eval_max,
+        skip_existing_scores=True,
     )
 
 
