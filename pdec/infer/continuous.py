@@ -44,13 +44,12 @@ class ContinuousEngine:
         def prefill_one(params, lora, tokens):  # [1, T] padded, valid mask
             ids, valid = tokens
             cache = init_kv_cache(cfg, 1, ids.shape[1])
-            logits, cache = forward(
-                params, ids, cfg, kv_cache=cache, attn_mask=valid, lora=lora
-            )
             last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
-            last_logits = jnp.take_along_axis(
-                logits, last[:, None, None], axis=1
-            )[:, 0]
+            logits, cache = forward(
+                params, ids, cfg, kv_cache=cache, attn_mask=valid,
+                lora=lora, gather_positions=last,
+            )
+            last_logits = logits[:, 0]
             return last_logits[0], cache["k"], cache["v"], jnp.sum(valid)
 
         @jax.jit

@@ -82,14 +82,14 @@ class InferenceEngine:
         @functools.partial(jax.jit, static_argnames=("max_len",))
         def prefill(params, lora, tokens, valid, max_len):
             cache = init_kv_cache(cfg, tokens.shape[0], max_len)
-            logits, cache = forward(
-                params, tokens, cfg, kv_cache=cache, attn_mask=valid, lora=lora
-            )
-            # logits at each sequence's last valid position
+            # LM-head projection only at each sequence's last valid
+            # position (gather_positions): avoids the [B, T, V] logits
             last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
-            last_logits = jnp.take_along_axis(
-                logits, last[:, None, None], axis=1
-            )[:, 0]
+            logits, cache = forward(
+                params, tokens, cfg, kv_cache=cache, attn_mask=valid,
+                lora=lora, gather_positions=last,
+            )
+            last_logits = logits[:, 0]
             # correct per-seq cache length (masked writes counted)
             cache = dict(cache)
             cache["length"] = jnp.sum(valid, axis=1).astype(jnp.int32)

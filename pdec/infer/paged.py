@@ -162,13 +162,12 @@ class PagedEngine:
         @functools.partial(jax.jit, static_argnames=("max_len",))
         def prefill(params, lora, tokens, valid, max_len):
             cache = init_kv_cache(cfg, tokens.shape[0], max_len)
-            logits, cache = forward(
-                params, tokens, cfg, kv_cache=cache, attn_mask=valid, lora=lora
-            )
             last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
-            last_logits = jnp.take_along_axis(
-                logits, last[:, None, None], axis=1
-            )[:, 0]
+            logits, cache = forward(
+                params, tokens, cfg, kv_cache=cache, attn_mask=valid,
+                lora=lora, gather_positions=last,
+            )
+            last_logits = logits[:, 0]
             return last_logits, cache["k"], cache["v"]
 
         @jax.jit

@@ -86,14 +86,12 @@ class ShardedDecoder:
         )
         def prefill(params, lora, tokens, valid, max_len):
             cache = init_kv_cache(cfg, tokens.shape[0], max_len)
+            last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
             logits, cache = forward(
                 params, tokens, cfg, kv_cache=cache, attn_mask=valid,
-                lora=lora,
+                lora=lora, gather_positions=last,
             )
-            last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
-            last_logits = jnp.take_along_axis(
-                logits, last[:, None, None], axis=1
-            )[:, 0]
+            last_logits = logits[:, 0]
             cache = dict(cache)
             cache["length"] = jnp.sum(valid, axis=1).astype(jnp.int32)
             return last_logits, cache

@@ -158,6 +158,16 @@ def stage_dpo(args):
     train_main(argv)
 
 
+def _role_preset(args, role):
+    """Per-role preset override (``--role-preset translator=MID``), falling
+    back to ``--preset``; lets a MID translator serve next to a BASE coder."""
+    for spec in args.role_preset or []:
+        name, _, preset = spec.partition("=")
+        if name == role:
+            return preset
+    return args.preset
+
+
 def _load_role(args, role):
     import dataclasses
 
@@ -170,10 +180,16 @@ def _load_role(args, role):
 
     tok = NativeBPETokenizer.load(_tok_path(args))
     cfg = dataclasses.replace(
-        getattr(model_configs, args.preset), vocab_size=tok.vocab_size
+        getattr(model_configs, _role_preset(args, role)),
+        vocab_size=tok.vocab_size,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
-    ckpt = CheckpointManager(os.path.join(args.root, role))
+    role_dir = os.path.join(args.root, role)
+    for spec in args.role_dir or []:
+        name, _, path = spec.partition("=")
+        if name == role:
+            role_dir = path
+    ckpt = CheckpointManager(role_dir)
     latest = ckpt.find_latest()
     if latest is None:
         raise SystemExit(f"no checkpoint for {role} under {args.root}")
@@ -196,7 +212,12 @@ def stage_eval(args):
 
     roles = list(ROLES)
     methods = list(args.methods)
-    if os.path.isdir(os.path.join(args.root, "controller")):
+    controller_dir = os.path.join(args.root, "controller")
+    for spec in args.role_dir or []:
+        name, _, path = spec.partition("=")
+        if name == "controller":
+            controller_dir = path
+    if os.path.isdir(controller_dir):
         roles.append("controller")
         for m in ("full_pipeline", "reasoning_only"):
             if m not in methods:
@@ -260,6 +281,12 @@ def main(argv=None):
     p.add_argument("--datasets", nargs="+", default=DATASETS)
     p.add_argument("--role", nargs="+", default=None,
                    help="train only these roles")
+    p.add_argument("--role-preset", nargs="+", default=None,
+                   metavar="ROLE=PRESET",
+                   help="per-role model preset override for eval loading")
+    p.add_argument("--role-dir", nargs="+", default=None,
+                   metavar="ROLE=DIR",
+                   help="per-role checkpoint dir override for eval loading")
     args = p.parse_args(argv)
 
     os.makedirs(args.root, exist_ok=True)
