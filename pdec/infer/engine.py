@@ -70,12 +70,16 @@ class InferenceEngine:
     """Holds (params, config, tokenizer) and serves batched generation."""
 
     def __init__(self, params, model_cfg: ModelConfig, tokenizer,
-                 lora=None, max_len: Optional[int] = None):
+                 lora=None, max_len: Optional[int] = None,
+                 max_batch: int = 256):
         self.params = params
         self.cfg = model_cfg
         self.tokenizer = tokenizer
         self.lora = lora
         self.max_len = max_len or model_cfg.max_seq
+        # HBM ceiling: the KV cache is O(batch x total_len); dispatches
+        # beyond max_batch are served in chunks instead of one allocation
+        self.max_batch = max_batch
 
         cfg = model_cfg
 
@@ -110,6 +114,13 @@ class InferenceEngine:
     def generate(
         self, prompts: Sequence[str], gen: GenerationConfig = GenerationConfig()
     ) -> List[Generation]:
+        if len(prompts) > self.max_batch:
+            out: List[Generation] = []
+            for i in range(0, len(prompts), self.max_batch):
+                out.extend(
+                    self.generate(prompts[i : i + self.max_batch], gen)
+                )
+            return out
         tok = self.tokenizer
         encoded = [tok.encode(p) for p in prompts]
         n = len(encoded)
