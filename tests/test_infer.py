@@ -65,3 +65,17 @@ def test_max_tokens_respected(engine):
     gen = GenerationConfig(max_new_tokens=4, temperature=0.0, stop=())
     out = engine.generate(["xyz"], gen)[0]
     assert len(out.token_ids) <= 4
+
+
+def test_chunked_generate_matches_unchunked(engine):
+    """Lists beyond max_batch are served in chunks with identical output
+    (the KV-cache HBM ceiling must not change results)."""
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    prompts = [f"prompt number {i}" for i in range(7)]
+    ref = engine.generate(prompts, gen)
+    chunked = InferenceEngine(
+        engine.params, engine.cfg, engine.tokenizer,
+        max_len=128, max_batch=3,
+    )
+    out = chunked.generate(prompts, gen)
+    assert [o.token_ids for o in out] == [o.token_ids for o in ref]
