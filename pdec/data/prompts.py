@@ -194,6 +194,7 @@ class FewShotBank:
             bank_dir = os.path.join(os.path.dirname(__file__), "examples")
         path = os.path.join(bank_dir, dataset, "examples.jsonl")
         fmt = format_test_prompt if test_side else format_train_prompt
+        self._fmt = fmt
         self.examples: List[str] = []
         if num_shots > 0:
             with open(path) as f:
@@ -217,7 +218,7 @@ class FewShotBank:
         return "".join(examples[: self.num_shots])
 
     def format_prompt(self, nl: str, sstl: str = "", python: str = "") -> str:
-        return self.few_shot_prefix() + format_test_prompt(
+        return self.few_shot_prefix() + self._fmt(
             self.format, nl, sstl, python
         )
 

@@ -104,6 +104,7 @@ class EvalDriver:
         eval_iou: bool = True,
         eval_edit_distance: bool = True,
         eval_perplexity: bool = True,
+        train_style_prompts: bool = False,
     ):
         self.engines = engines
         self.prompt_dataset = prompt_dataset
@@ -116,6 +117,13 @@ class EvalDriver:
         self.do_iou = eval_iou
         self.do_edit = eval_edit_distance
         self.do_ppl = eval_perplexity
+        # The reference's TEST prompt for nl_to_sstl inserts a
+        # "Spatial Signal Temporal Logic:" scaffold line that its TRAIN
+        # prompt does not (few_shot_test.py:27 vs few_shot_train.py:30).
+        # Pretrained 7B checkpoints absorb that shift; from-scratch models
+        # collapse on it (emit a formula tail + eos).  train_style_prompts
+        # serves nl_to_sstl prompts in the exact training format instead.
+        self.train_style_prompts = train_style_prompts
 
     # -- generation helpers -------------------------------------------------
 
@@ -123,8 +131,10 @@ class EvalDriver:
         dataset = self.prompt_dataset
         if dpo:
             dataset = f"DPO_{dataset}"
+        test_side = not (self.train_style_prompts and format == "nl_to_sstl")
         return FewShotBank(
-            format, num_shots=shots, dataset=dataset, bank_dir=self.bank_dir
+            format, num_shots=shots, dataset=dataset, bank_dir=self.bank_dir,
+            test_side=test_side,
         )
 
     def _generate(self, role: str, prompts: Sequence[str], seed: int):

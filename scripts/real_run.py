@@ -232,6 +232,9 @@ def stage_eval(args):
         temperature=args.temperature,
         max_new_tokens=args.max_new_tokens,
         n_repeat_sampling=args.repeats,
+        # from-scratch models must see their exact training prompt format
+        # (the reference's nl_to_sstl test scaffold diverges from train)
+        train_style_prompts=not args.reference_prompts,
     )
     dataset_paths = {
         name: os.path.join("datasets", "test", name, "test.jsonl")
@@ -287,6 +290,9 @@ def main(argv=None):
     p.add_argument("--role-dir", nargs="+", default=None,
                    metavar="ROLE=DIR",
                    help="per-role checkpoint dir override for eval loading")
+    p.add_argument("--reference-prompts", action="store_true",
+                   help="use the reference's test-side prompt scaffold "
+                        "verbatim (for imported pretrained checkpoints)")
     args = p.parse_args(argv)
 
     os.makedirs(args.root, exist_ok=True)

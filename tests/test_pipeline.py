@@ -148,3 +148,27 @@ def test_aggregation(driver, items, tmp_path):
     assert "1.0000" in md
     paths = write_reports(str(tmp_path))
     assert paths and all(os.path.exists(p) for p in paths)
+
+
+def test_train_style_prompt_bank():
+    """train_style nl_to_sstl prompts must end at the bare open fence the
+    model saw in training (no test-side scaffold line), and shot examples
+    must close their fence."""
+    from pdec.data.prompts import FewShotBank
+
+    test_bank = FewShotBank("nl_to_sstl", num_shots=0, dataset="combined")
+    train_bank = FewShotBank(
+        "nl_to_sstl", num_shots=0, dataset="combined", test_side=False
+    )
+    tp = test_bank.format_prompt(nl="heat the rod")
+    rp = train_bank.format_prompt(nl="heat the rod")
+    assert "Spatial Signal Temporal Logic:" in tp
+    assert "Spatial Signal Temporal Logic:" not in rp
+    assert rp.endswith("```latex\n")
+
+    shot = FewShotBank(
+        "nl_to_sstl", num_shots=2, dataset="combined", test_side=False
+    )
+    prefix = shot.few_shot_prefix()
+    assert prefix.count("```latex\n") == 2
+    assert prefix.count("\n```\n\n") == 2
