@@ -90,6 +90,17 @@ def _is_correct(pred, ans, prec=1e-3) -> bool:
     return pred == ans
 
 
+# train_style_prompts: test-side format -> the training format the
+# from-scratch role actually saw (same prompt shape; the test-side
+# variants differ only in instruction text / scaffold lines, which
+# pretrained checkpoints tolerate but from-scratch models do not).
+_TRAIN_STYLE_MAP = {
+    "nl_to_sstl": "nl_to_sstl",
+    "test_nl_with_given_sstl_to_python": "train_nl_and_sstl_to_python",
+    "dpo_test_sstl_to_python": "train_nl_and_sstl_to_python",
+}
+
+
 class EvalDriver:
     def __init__(
         self,
@@ -131,10 +142,13 @@ class EvalDriver:
         dataset = self.prompt_dataset
         if dpo:
             dataset = f"DPO_{dataset}"
-        test_side = not (self.train_style_prompts and format == "nl_to_sstl")
+        if self.train_style_prompts and format in _TRAIN_STYLE_MAP:
+            return FewShotBank(
+                _TRAIN_STYLE_MAP[format], num_shots=shots, dataset=dataset,
+                bank_dir=self.bank_dir, test_side=False,
+            )
         return FewShotBank(
             format, num_shots=shots, dataset=dataset, bank_dir=self.bank_dir,
-            test_side=test_side,
         )
 
     def _generate(self, role: str, prompts: Sequence[str], seed: int):
