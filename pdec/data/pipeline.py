@@ -99,16 +99,25 @@ def _repair_bos_eos(ids: List[int], bos: Optional[int], eos: Optional[int]):
 
 def tokenize_sft(rows: Sequence[Dict], tokenizer) -> List[Dict]:
     """[{'text', 'labels'}] -> [{'input_ids', 'labels'}] with the prompt
-    span masked to -100 (+1 for the bos token, ``loader.py:165-167``)."""
+    span masked to -100 (+1 for the bos token, ``loader.py:165-167``).
+
+    Prompt and label are tokenized SEPARATELY and concatenated.  Encoding
+    the concatenated string (the reference's approach) lets BPE merge
+    across the prompt/label boundary — with a domain-trained tokenizer the
+    merges can swallow the open fence AND the start of the program into
+    one token, so (a) ``len(encode(prompt))`` no longer locates the
+    boundary and the -100 mask eats the first label tokens, and (b) the
+    model never trains on the bare-fence context inference actually
+    presents.  Separate encoding makes train tokens == inference tokens
+    by construction."""
     out = []
     bos = getattr(tokenizer, "bos_token_id", None)
     eos = getattr(tokenizer, "eos_token_id", None)
     for row in rows:
-        full = tokenizer.encode(row["text"] + row["labels"],
-                                add_special_tokens=False)
         prompt = tokenizer.encode(row["text"], add_special_tokens=False)
+        target = tokenizer.encode(row["labels"], add_special_tokens=False)
         source_len = len(prompt)
-        ids = _repair_bos_eos(list(full), bos, eos)
+        ids = _repair_bos_eos(prompt + target, bos, eos)
         labels = list(ids)
         n_mask = min(source_len + 1, len(labels))
         labels[:n_mask] = [IGNORE_INDEX] * n_mask

@@ -196,3 +196,39 @@ class TestBalance:
     def test_bad_balance_rejected(self):
         with pytest.raises(ValueError):
             balance_datasets([[1]], [0.5, 0.4])
+
+
+def test_tokenize_sft_boundary_prefix_stable():
+    """The -100 mask must end exactly at the prompt/label boundary even
+    when the tokenizer has merges that would span it on concatenated
+    text (domain-trained BPE can swallow the open fence + program head
+    into one token)."""
+
+    class MergingTok:
+        bos_token_id = 1
+        eos_token_id = 2
+
+        def encode(self, text, add_special_tokens=True):
+            # pathological: encodes "```\nfrom" as ONE id when adjacent
+            ids = []
+            i = 0
+            while i < len(text):
+                if text[i:i + 8] == "```\nfrom":
+                    ids.append(99)
+                    i += 8
+                else:
+                    ids.append(3 + (ord(text[i]) % 7))
+                    i += 1
+            return ids
+
+    from pdec.data.pipeline import IGNORE_INDEX, tokenize_sft
+
+    tok = MergingTok()
+    row = {"text": "do it:\n```\n", "labels": "from x import y"}
+    [r] = tokenize_sft([row], tok)
+    k = len(tok.encode(row["text"]))
+    # bos + prompt masked; every label position visible
+    assert r["labels"][: k + 1] == [IGNORE_INDEX] * (k + 1)
+    n_label = len(tok.encode(row["labels"]))
+    visible = [l for l in r["labels"] if l != IGNORE_INDEX]
+    assert len(visible) >= n_label  # label tokens + eos all supervised
