@@ -120,8 +120,9 @@ long long pdec_tok_encode(void* h, const uint8_t* text, long long n,
   };
   std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> heap;
   auto push_pair = [&](long long i) {
+    if (i < 0 || i >= m) return;  // head-of-list merges pass prev[i] == -1
     const long long j = next[i];
-    if (i < 0 || i >= m || j >= m) return;
+    if (j >= m) return;
     const auto it = t->merges.find(pair_key(ids[i], ids[j]));
     if (it != t->merges.end()) {
       heap.push({it->second >> 32, i, ids[i], ids[j]});

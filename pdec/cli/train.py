@@ -92,7 +92,7 @@ def main(argv=None):
     from pdec.parallel.mesh import MeshConfig, make_mesh, shard_params
     from pdec.runtime.checkpoint import CheckpointManager
     from pdec.runtime.config import RunConfig, apply_overrides, save_config
-    from pdec.runtime.logging import get_logger
+    from pdec.runtime.logging import JsonlMetricSink, get_logger
     from pdec.train.dpo import make_dpo_step
     from pdec.train.loop import LoopConfig, resume_if_available, train_loop
     from pdec.train.optim import TrainConfig
@@ -101,7 +101,6 @@ def main(argv=None):
     logger = get_logger("pdec.cli.train", log_dir=args.run_dir)
     cfg = apply_overrides(RunConfig(run_dir=args.run_dir), args.overrides)
     cfg = apply_overrides(cfg, [f"train.total_steps={args.steps}"])
-    save_config(cfg)
 
     # ---- model -----------------------------------------------------------
     if hasattr(model_configs, args.base):
@@ -126,6 +125,41 @@ def main(argv=None):
     if tokenizer is None:
         raise SystemExit("random-init presets need --tokenizer (native BPE "
                          "json) for text data; or use an HF --base")
+
+    # serialized config is the run's source of truth: record the RESOLVED
+    # model identity (the default ModelSpec.preset must never leak into a
+    # run trained with a different --base)
+    cfg = apply_overrides(cfg, [
+        f"mode={args.mode}",
+        f"model.preset={args.base}",
+        f"model.lora_rank={args.lora_rank}",
+        f"model.lora_alpha={args.lora_alpha}",
+        f"data.max_len={args.max_len}",
+        f"save_interval={args.save_interval}",
+    ])
+    if args.init_from:
+        cfg = apply_overrides(cfg, [f"model.checkpoint={args.init_from}"])
+    save_config(cfg)
+    resolved = {
+        "base": args.base, "mode": args.mode,
+        "model_dims": {
+            "n_layers": model_cfg.n_layers, "d_model": model_cfg.d_model,
+            "n_heads": model_cfg.n_heads, "d_ff": model_cfg.d_ff,
+            "vocab_size": model_cfg.vocab_size,
+        },
+        "n_params": int(sum(
+            v.size for v in jax.tree.leaves(params)
+        )),
+        "tokenizer": args.tokenizer,
+        "data": list(args.data),
+        "prompt_formats": list(args.prompt_format),
+        "full_finetune": bool(args.full_finetune),
+        "micro_batch": args.micro_batch,
+        "steps": args.steps,
+    }
+    with open(os.path.join(args.run_dir, "resolved_model.json"), "w") as f:
+        json.dump(resolved, f, indent=2)
+    logger.info("resolved model: %s", resolved)
 
     if args.init_from:
         src = CheckpointManager(args.init_from)
@@ -246,15 +280,21 @@ def main(argv=None):
                  "opt_state": init_fn(policy)}
 
     # ---- loop ------------------------------------------------------------
+    from pdec.train.optim import cosine_schedule
+
     ckpt = CheckpointManager(args.run_dir, save_interval=args.save_interval)
     state, start = resume_if_available(ckpt, state)
+    sink = JsonlMetricSink(args.run_dir)
     with mesh:
         train_loop(
             step_fn, state, batches,
             LoopConfig(total_steps=args.steps,
                        save_interval=args.save_interval),
             ckpt=ckpt, start_step=start,
+            metric_sink=sink,
+            lr_schedule=cosine_schedule(train_cfg),
         )
+    sink.close()
     logger.info("training complete")
 
 

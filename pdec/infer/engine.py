@@ -66,6 +66,82 @@ def _sample(logits, key, temperature, top_p):
     return sampled, jax.nn.log_softmax(logits, axis=-1)
 
 
+def finalize_generation(tokenizer, ids, lps, eos_id,
+                        gen: GenerationConfig) -> Generation:
+    """Trim at eos/stop and truncate logprobs to the kept tokens.
+
+    The kept-token count is derived from the generated token stream's own
+    byte positions — NOT by re-encoding the trimmed text: BPE is not
+    prefix-stable, so ``encode(trim(decode(ids)))`` need not align with
+    ``ids`` (the same boundary-merge trap as the round-2 tokenization bug;
+    mirrors the reference's ``extract_logits_without_stop_words``,
+    ``eval/utils.py:293-315``, which drops stop-word token logprobs).
+    """
+    ids = list(ids)
+    finish = "length"
+    if eos_id in ids:
+        cut = ids.index(eos_id)
+        ids, lps = ids[:cut], lps[:cut]
+        finish = "eos"
+
+    if hasattr(tokenizer, "decode_bytes"):
+        raw = tokenizer.decode_bytes(ids)
+        boundary = None
+        for s in gen.stop:
+            pos = raw.find(s.encode("utf-8"))
+            if pos >= 0 and (boundary is None or pos < boundary):
+                boundary = pos
+        if boundary is not None:
+            finish = "stop"
+            text = raw[:boundary].decode("utf-8", errors="ignore")
+            # tokens whose bytes fall entirely before the stop boundary
+            acc = kept = 0
+            for t in ids:
+                n = len(tokenizer.decode_bytes([t]))
+                if acc + n > boundary:
+                    break
+                acc += n
+                kept += 1
+            lps = lps[:kept]
+        else:
+            text = raw.decode("utf-8", errors="ignore")
+    else:
+        text = tokenizer.decode(ids)
+        boundary = None
+        for s in gen.stop:
+            pos = text.find(s)
+            if pos >= 0 and (boundary is None or pos < boundary):
+                boundary = pos
+        if boundary is not None:
+            finish = "stop"
+            text = text[:boundary]
+            # decoded length is monotone in token count: binary-search the
+            # largest prefix that fits before the stop boundary
+            lo, hi = 0, len(ids)
+            while lo < hi:
+                k = (lo + hi + 1) // 2
+                if len(tokenizer.decode(ids[:k])) <= boundary:
+                    lo = k
+                else:
+                    hi = k - 1
+            lps = lps[:lo]
+    return Generation(
+        text=text,
+        token_ids=ids,
+        logprobs=[float(v) for v in np.asarray(lps).tolist()],
+        finish_reason=finish,
+    )
+
+
+def chunk_seed(seed: int, chunk_index: int) -> int:
+    """Distinct deterministic seed per served chunk (chunk 0 keeps the
+    caller's seed so chunked == unchunked holds for single-chunk calls;
+    with temperature>0, later chunks must not replay chunk 0's keys)."""
+    if chunk_index == 0:
+        return seed
+    return (seed + 0x9E3779B1 * chunk_index) % (2**31)
+
+
 class InferenceEngine:
     """Holds (params, config, tokenizer) and serves batched generation."""
 
@@ -116,9 +192,12 @@ class InferenceEngine:
     ) -> List[Generation]:
         if len(prompts) > self.max_batch:
             out: List[Generation] = []
-            for i in range(0, len(prompts), self.max_batch):
+            for ci, i in enumerate(range(0, len(prompts), self.max_batch)):
+                sub = dataclasses.replace(
+                    gen, seed=chunk_seed(gen.seed, ci)
+                )
                 out.extend(
-                    self.generate(prompts[i : i + self.max_batch], gen)
+                    self.generate(prompts[i : i + self.max_batch], sub)
                 )
             return out
         tok = self.tokenizer
@@ -203,30 +282,8 @@ class InferenceEngine:
         arr = np.stack(out_tokens, axis=1)  # [bsz, steps]
         lps = np.stack(out_lps, axis=1)
         return [
-            self._finalize(arr[i], lps[i], eos_id, gen)
+            finalize_generation(
+                self.tokenizer, arr[i].tolist(), lps[i], eos_id, gen
+            )
             for i in range(n)
         ]
-
-    def _finalize(self, ids, lps, eos_id, gen: GenerationConfig) -> Generation:
-        ids = ids.tolist()
-        finish = "length"
-        if eos_id in ids:
-            cut = ids.index(eos_id)
-            ids, lps = ids[:cut], lps[:cut]
-            finish = "eos"
-        text = self.tokenizer.decode(ids)
-        for s in gen.stop:
-            if s in text:
-                text = text.split(s)[0]
-                finish = "stop"
-        # logprobs for the kept prefix (stop-word tokens excluded, mirroring
-        # extract_logits_without_stop_words)
-        if finish == "stop":
-            kept_ids = self.tokenizer.encode(text)
-            lps = lps[: len(kept_ids)]
-        return Generation(
-            text=text,
-            token_ids=ids,
-            logprobs=[float(v) for v in np.asarray(lps).tolist()],
-            finish_reason=finish,
-        )

@@ -254,30 +254,12 @@ class ShardedEngine:
             host_check=host_check,
         )
         lps = dec._last_logprobs
+        # identical post-processing semantics to the unsharded engine
+        from pdec.infer.engine import finalize_generation
+
         out = []
         for i in range(n):
-            out.append(self._finalize(ids[i], lps[i], eos_id, gen))
+            out.append(finalize_generation(
+                self.tokenizer, ids[i].tolist(), lps[i], eos_id, gen
+            ))
         return out
-
-    # identical post-processing semantics to the unsharded engine
-    def _finalize(self, ids, lps, eos_id, gen: GenerationConfig) -> Generation:
-        ids = ids.tolist()
-        finish = "length"
-        if eos_id in ids:
-            cut = ids.index(eos_id)
-            ids, lps = ids[:cut], lps[:cut]
-            finish = "eos"
-        text = self.tokenizer.decode(ids)
-        for s in gen.stop:
-            if s in text:
-                text = text.split(s)[0]
-                finish = "stop"
-        if finish == "stop":
-            kept_ids = self.tokenizer.encode(text)
-            lps = lps[: len(kept_ids)]
-        return Generation(
-            text=text,
-            token_ids=ids,
-            logprobs=[float(v) for v in np.asarray(lps).tolist()],
-            finish_reason=finish,
-        )

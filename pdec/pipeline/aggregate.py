@@ -64,14 +64,25 @@ def aggregate_results(
                 .setdefault(e["dataset"], {})
                 .setdefault(e["shots"], [])
             )
-            slot.append(e["metrics"][metric])
-    # reduce to (mean, std, n)
+            # (value, in-combo std over repeat samplings, if recorded)
+            slot.append(
+                (e["metrics"][metric], e["metrics"].get(f"{metric} std"))
+            )
+    # reduce to (mean, std, n): std over seeds when several seed dirs
+    # exist, else the combo's own cross-repeat std (evaluate.py writes
+    # "<metric> std" when n_repeat_sampling > 1)
     for method in out.values():
         for metric in method.values():
             for dataset in metric.values():
-                for shots, vals in list(dataset.items()):
-                    arr = np.asarray(vals, dtype=np.float64)
-                    std = float(np.std(arr, ddof=1)) if len(arr) > 1 else 0.0
+                for shots, pairs in list(dataset.items()):
+                    arr = np.asarray([v for v, _ in pairs], dtype=np.float64)
+                    hints = [s for _, s in pairs if isinstance(s, (int, float))]
+                    if len(arr) > 1:
+                        std = float(np.std(arr, ddof=1))
+                    elif hints:
+                        std = float(hints[0])
+                    else:
+                        std = 0.0
                     dataset[shots] = (float(np.mean(arr)), std, len(arr))
     return out
 
@@ -101,6 +112,105 @@ def format_markdown_table(aggregated: Dict, method: str,
     return text
 
 
+def _load_predictions(path: str) -> List[Dict]:
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def controller_utility_gain(
+    in_dir: str,
+    treatment: str = "full_pipeline",
+    baseline: str = "to_python_two_step",
+) -> Dict[str, Dict]:
+    """Per-(dataset, shots) utility comparison of the DPO-controller
+    pipeline vs the controller-free two-step baseline.
+
+    The paper's headline claim is "up to 62% utility gain" from the
+    controller (reference ``README.md:34``); utility here is the achieved
+    robustness of the generated control program (the reward that scored
+    the DPO pairs, ``loader.py:264-265``).  Predictions are paired by
+    (example index, repeat_id) within the same sweep directory.
+
+    -> {"<dataset>|shots=N": {mean_gain, rel_gain_pct, win_rate,
+        treatment_mean, baseline_mean, n_pairs}}
+    """
+    out: Dict[str, Dict] = {}
+    if not os.path.isdir(in_dir):
+        return out
+    for name in sorted(os.listdir(in_dir)):
+        m = _DIR_RE.match(name)
+        if not m:
+            continue
+        t_path = os.path.join(in_dir, name, treatment, "predictions.jsonl")
+        b_path = os.path.join(in_dir, name, baseline, "predictions.jsonl")
+        if not (os.path.exists(t_path) and os.path.exists(b_path)):
+            continue
+        t_preds = _load_predictions(t_path)
+        b_preds = _load_predictions(b_path)
+
+        def keyed(preds):
+            by_key = {}
+            counters: Dict[int, int] = {}
+            for p in preds:
+                rep = int(p.get("repeat_id", 0))
+                idx = counters.get(rep, 0)
+                counters[rep] = idx + 1
+                by_key[(idx, rep)] = p
+            return by_key
+
+        t_by, b_by = keyed(t_preds), keyed(b_preds)
+        gains, t_vals, b_vals, wins = [], [], [], 0
+        for key, tp in t_by.items():
+            bp = b_by.get(key)
+            if bp is None:
+                continue
+            tr, br = tp.get("robustness"), bp.get("robustness")
+            if not (isinstance(tr, (int, float)) and isinstance(br, (int, float))):
+                continue
+            gains.append(tr - br)
+            t_vals.append(tr)
+            b_vals.append(br)
+            wins += tr > br
+        if not gains:
+            continue
+        n = len(gains)
+        b_mean = sum(b_vals) / n
+        mean_gain = sum(gains) / n
+        out[f"{m.group('dataset')}|shots={m.group('shots')}"] = {
+            "mean_gain": mean_gain,
+            "rel_gain_pct": 100.0 * mean_gain / max(abs(b_mean), 1e-9),
+            "win_rate": wins / n,
+            "treatment_mean": sum(t_vals) / n,
+            "baseline_mean": b_mean,
+            "n_pairs": n,
+        }
+    return out
+
+
+def format_utility_gain_table(gains: Dict[str, Dict],
+                              treatment: str = "full_pipeline",
+                              baseline: str = "to_python_two_step") -> str:
+    if not gains:
+        return ""
+    text = (
+        f"# Controller utility gain: {treatment} vs {baseline}\n\n"
+        "Utility = achieved robustness of the generated control program\n"
+        "(the DPO reward signal; paper claim: up to 62% utility gain,\n"
+        "reference README.md:34). Pairs matched per example x repeat.\n\n"
+        "| dataset | mean utility (ctl) | mean utility (base) | mean gain "
+        "| rel gain % | win rate | n |\n"
+        "|---|---|---|---|---|---|---|\n"
+    )
+    for key in sorted(gains):
+        g = gains[key]
+        text += (
+            f"| {key} | {g['treatment_mean']:.4f} | {g['baseline_mean']:.4f} "
+            f"| {g['mean_gain']:.4f} | {g['rel_gain_pct']:+.1f}% "
+            f"| {g['win_rate']:.3f} | {g['n_pairs']} |\n"
+        )
+    return text
+
+
 def write_reports(in_dir: str, out_dir: Optional[str] = None,
                   methods: Optional[Sequence[str]] = None) -> List[str]:
     aggregated = aggregate_results(in_dir)
@@ -112,6 +222,13 @@ def write_reports(in_dir: str, out_dir: Optional[str] = None,
         if not text:
             continue
         path = os.path.join(out_dir, f"{os.path.basename(in_dir)}-{method}.md")
+        with open(path, "w") as f:
+            f.write(text)
+        written.append(path)
+    gains = controller_utility_gain(in_dir)
+    text = format_utility_gain_table(gains)
+    if text:
+        path = os.path.join(out_dir, "utility_gain.md")
         with open(path, "w") as f:
             f.write(text)
         written.append(path)

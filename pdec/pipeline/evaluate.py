@@ -214,6 +214,13 @@ class EvalDriver:
                     self._run_once(items, eval_method, shots, rep_seed, rep)
                 )
         metrics = self._compute_metrics(items, predictions)
+        # protocol provenance: train-style vs reference-prompt runs (and
+        # their sampling setup) must never be conflated in result tables
+        metrics["prompt_style"] = (
+            "train" if self.train_style_prompts else "reference"
+        )
+        metrics["temperature"] = self.temperature
+        metrics["n_repeat_sampling"] = self.n_repeat_sampling
         result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
         if run_dir is not None:
             os.makedirs(run_dir, exist_ok=True)
@@ -318,6 +325,48 @@ class EvalDriver:
     # -- metrics ------------------------------------------------------------
 
     def _compute_metrics(self, items, predictions) -> Dict[str, float]:
+        """Per-repeat metric means with honest cross-repeat stds.
+
+        The reference reports mean(std) over repeat samplings / seeds
+        (``read_result.py:67-88``, ``infer_pdecontrol.sh:36-38``); with
+        n_repeat_sampling>1 each metric is computed per repeat group and
+        reported as its mean plus a ``"<metric> std"`` companion key.
+        """
+        by_rep: Dict[int, List[Dict]] = {}
+        for p in predictions:
+            by_rep.setdefault(int(p.get("repeat_id", 0)), []).append(p)
+        if len(by_rep) <= 1:
+            return self._metrics_once(items, predictions)
+        per_rep = [
+            self._metrics_once(items, group)
+            for _, group in sorted(by_rep.items())
+        ]
+        metrics: Dict[str, float] = {
+            "n_samples": len(predictions),
+            "n_repeats": len(per_rep),
+        }
+        keys: List[str] = []
+        for m in per_rep:
+            for k in m:
+                if k not in keys:
+                    keys.append(k)
+        for k in keys:
+            if k == "n_samples":
+                continue
+            vals = [
+                m[k] for m in per_rep
+                if isinstance(m.get(k), (int, float)) and math.isfinite(m[k])
+            ]
+            if not vals:
+                continue
+            mean = sum(vals) / len(vals)
+            metrics[k] = float(mean)
+            if len(vals) > 1:
+                var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+                metrics[f"{k} std"] = float(math.sqrt(var))
+        return metrics
+
+    def _metrics_once(self, items, predictions) -> Dict[str, float]:
         n_items = len(items)
         reps = max(len(predictions) // max(n_items, 1), 1)
         paired = [

@@ -39,6 +39,7 @@ def train_loop(
     validate_fn: Optional[Callable[[Dict, int], Dict]] = None,
     start_step: int = 0,
     metric_sink: Optional[Callable[[int, Dict], None]] = None,
+    lr_schedule: Optional[Callable[[int], float]] = None,
 ):
     """Generic jitted-step training loop.
 
@@ -65,6 +66,8 @@ def train_loop(
         )
         step += 1
         host_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        if lr_schedule is not None:
+            host_metrics["lr"] = float(lr_schedule(step - 1))
         eta.log(step, host_metrics)
         if metric_sink is not None:
             metric_sink(step, host_metrics)

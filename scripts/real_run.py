@@ -171,11 +171,8 @@ def _role_preset(args, role):
 def _load_role(args, role):
     import dataclasses
 
-    import jax
-
     import pdec.models.config as model_configs
     from pdec.cpp.tokenizer import NativeBPETokenizer
-    from pdec.models.transformer import init_params
     from pdec.runtime.checkpoint import CheckpointManager
 
     tok = NativeBPETokenizer.load(_tok_path(args))
@@ -183,7 +180,7 @@ def _load_role(args, role):
         getattr(model_configs, _role_preset(args, role)),
         vocab_size=tok.vocab_size,
     )
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    # restore_weights is template-free: no throwaway random init needed
     role_dir = os.path.join(args.root, role)
     for spec in args.role_dir or []:
         name, _, path = spec.partition("=")
@@ -245,7 +242,9 @@ def stage_eval(args):
         driver, dataset_paths, methods, shots_list=args.shots,
         seed=args.seed, out_dir=out_dir,
         max_num_examples=args.eval_max,
-        skip_existing_scores=True,
+        # after retraining a role, --force-eval must invalidate the combo
+        # cache or stale metrics.json would be silently re-served
+        skip_existing_scores=not args.force_eval,
     )
 
 
@@ -290,6 +289,8 @@ def main(argv=None):
     p.add_argument("--role-dir", nargs="+", default=None,
                    metavar="ROLE=DIR",
                    help="per-role checkpoint dir override for eval loading")
+    p.add_argument("--force-eval", action="store_true",
+                   help="re-evaluate combos even when metrics.json exists")
     p.add_argument("--reference-prompts", action="store_true",
                    help="use the reference's test-side prompt scaffold "
                         "verbatim (for imported pretrained checkpoints)")
