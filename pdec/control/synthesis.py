@@ -166,57 +166,88 @@ def synthesize(
     )
     optimizer = optax.adam(lr_schedule)
 
+    def full_rho(theta):
+        """Full-resolution hard robustness (forward-only).  The strided
+        grid is fine for smooth GRADIENTS but not for selection: it can
+        overestimate hard robustness by a large margin when the binding
+        constraint sits between strided samples (measured: 1.29 strided
+        vs 0.75 full on a 2-phase heat spec), so every incumbent decision
+        below uses the full grid."""
+        traj = rollout_trajectory_chunked(
+            *ops, system.x0, to_controls(theta), system.g0, system.n_out
+        )
+        return robustness(traj, ts, system.xs, clauses, program)
+
     def run_one_start(theta0):
+        # Anytime ascent: the annealed smooth objective is NOT monotone in
+        # hard robustness (the coarse-tau phase can walk a good incumbent
+        # downhill and the decayed lr never recovers it), so every
+        # iteration evaluates the full-resolution hard metric and the
+        # best-seen theta is what the start returns — a solver never
+        # returns worse than its incumbent.
         opt_state = optimizer.init(theta0)
 
         def opt_step_for(obj):
             def opt_step(carry, tau):
-                theta, opt_state = carry
+                theta, opt_state, best_theta, best_rho = carry
                 grads = jax.grad(obj)(theta, tau)
                 updates, opt_state = optimizer.update(grads, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
-                return (theta, opt_state), None
+                rho = full_rho(theta)
+                better = rho > best_rho
+                best_theta = jnp.where(better, theta, best_theta)
+                best_rho = jnp.maximum(rho, best_rho)
+                return (theta, opt_state, best_theta, best_rho), None
             return opt_step
 
-        carry, _ = jax.lax.scan(
-            opt_step_for(objective), (theta0, opt_state), taus
-        )
+        carry = (theta0, opt_state, theta0, full_rho(theta0))
+        carry, _ = jax.lax.scan(opt_step_for(objective), carry, taus)
         if cfg.polish_iters > 0:
+            # polish the INCUMBENT, not wherever the smoothed objective
+            # dragged the iterate; fresh optimizer state (the anneal
+            # trajectory's momentum points away from the incumbent)
+            _, _, best_theta, best_rho = carry
+            carry = (best_theta, optimizer.init(best_theta), best_theta,
+                     best_rho)
             polish_taus = jnp.full((cfg.polish_iters,), taus[-1])
             carry, _ = jax.lax.scan(
                 opt_step_for(objective_full), carry, polish_taus
             )
-        theta, _ = carry
-        controls = to_controls(theta)
-        traj = rollout_trajectory_chunked(
-            *ops, system.x0, controls, system.g0, system.n_out
-        )
-        hard = robustness(traj, ts, system.xs, clauses, program)
-        return hard, controls, theta
+        _, _, best_theta, best_rho = carry
+        return best_rho, to_controls(best_theta), best_theta
 
-    # Start portfolio: zero control; the measured-best constant control
-    # (a cheap forward-only grid scan over the constant subspace — a
-    # 1-D version of what the Gurobi presolve would explore); a small
-    # constant ladder; random inits for disjunct coverage.
+    # Start portfolio: zero control; the measured-best constant control;
+    # the measured-best TWO-PHASE control (u1 for the first half of the
+    # horizon, u2 for the second — a cheap forward-only scan, the 1-D
+    # analog of the phase-structure branching Gurobi's MILP explores;
+    # heat-then-cool specs have their optimum in this subspace and pure
+    # gradient ascent from constant starts reliably misses it); random
+    # inits for disjunct coverage.
     grid = jnp.linspace(-2.0, 2.0, 17)
+    best_const = grid[jnp.argmax(
+        jax.vmap(lambda g: full_rho(jnp.full((n_chunks,), g)))(grid)
+    )]
 
-    def const_rho(g):
-        controls = jnp.full((n_chunks,), system.u_scale * jnp.tanh(g))
-        traj = rollout_trajectory_chunked(
-            *ops, system.x0, controls, system.g0, system.n_out
+    half = n_chunks // 2
+
+    def phase_theta(u1, u2):
+        return jnp.concatenate(
+            [jnp.full((half,), u1), jnp.full((n_chunks - half,), u2)]
         )
-        return robustness(traj[::stride], ts_strided, system.xs, clauses, program)
 
-    best_const = grid[jnp.argmax(jax.vmap(const_rho)(grid))]
+    pgrid = jnp.linspace(-2.0, 2.0, 9)
+    pair_rhos = jax.vmap(
+        lambda u1: jax.vmap(lambda u2: full_rho(phase_theta(u1, u2)))(pgrid)
+    )(pgrid)
+    flat = jnp.argmax(pair_rhos)
+    best_pair = phase_theta(pgrid[flat // 9], pgrid[flat % 9])
 
     init = jax.random.normal(key, (cfg.n_starts, n_chunks)) * cfg.init_scale
     init = init.at[0].set(0.0)
     if cfg.n_starts > 1:
         init = init.at[1].set(best_const)
-    n_const = min(2, max(cfg.n_starts - 3, 0))
-    consts = jnp.linspace(-1.2, 1.2, max(n_const, 1))
-    for i in range(n_const):
-        init = init.at[2 + i].set(consts[i])
+    if cfg.n_starts > 2:
+        init = init.at[2].set(best_pair)
 
     hard, controls, thetas = jax.vmap(run_one_start)(init)
     best = jnp.argmax(hard)

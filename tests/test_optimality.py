@@ -74,3 +74,28 @@ def test_synthesis_within_tolerance_of_grid_optimum(fidx):
     assert rho >= best_grid - tolerance, (
         f"synthesis {rho:.4f} below grid optimum {best_grid:.4f}"
     )
+
+
+@pytest.mark.parametrize("fidx", range(len(FORMULAS)))
+def test_defaults_within_tolerance_of_grid_optimum(fidx):
+    """Pin the SHIPPED ``SynthesisConfig()`` defaults — exactly what
+    bench.py and the eval path run — to the 1% tolerance.  A future
+    "faster" default that degrades solution quality must fail here, not
+    just shift an offline study (VERDICT r2 weak #2)."""
+    system = small_heat_system()
+    spec = compile_spec(FORMULAS[fidx])
+    cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
+
+    grid = jnp.linspace(-4.0, 4.0, 65)
+    best_grid = float(_grid_best(system, cl, pr, grid))
+
+    res = synthesize(
+        system, cl, pr, jax.random.PRNGKey(fidx), MAX_STEPS,
+        SynthesisConfig(),
+    )
+    rho = float(res.robustness)
+
+    tolerance = 0.01 * 1.0
+    assert rho >= best_grid - tolerance, (
+        f"shipped defaults {rho:.4f} below grid optimum {best_grid:.4f}"
+    )

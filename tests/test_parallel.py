@@ -75,3 +75,50 @@ def test_sharded_sft_step_emits_collectives():
     assert "all-gather" in hlo, (
         "no all-gather in compiled train step (params may be replicated)"
     )
+
+
+def test_sharded_synthesis_matches_single_device():
+    """The headline workload (synthesize_batch) sharded over the virtual
+    8-device mesh batch axis must reproduce single-device results — the
+    >=10k/v5e-8 north-star claim rides on this partitioning being a pure
+    data-parallel split (VERDICT r2 weak #1)."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pdec.control.synthesis import SynthesisConfig, synthesize_batch
+    from pdec.data.generator import GeneratorConfig, sample_problem
+    from pdec.physics.problem import problem_from_program, stack_systems
+    from pdec.stl.ast import compile_spec, stack_specs
+
+    rng = random.Random(0)
+    max_steps = 320
+    sys_list, spec_list = [], []
+    while len(sys_list) < 8:
+        ex = sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
+        if int(round(ex.program.t_final / ex.program.dt)) > max_steps:
+            continue
+        sys_list.append(problem_from_program(ex.program, max_steps=max_steps))
+        spec_list.append(compile_spec(ex.formula, max_clauses=4, max_prog=8))
+    systems = stack_systems(sys_list)
+    cl, pr = stack_specs(spec_list)
+    cl, pr = jnp.asarray(cl), jnp.asarray(pr)
+    cfg = SynthesisConfig(n_iters=4, n_starts=2, polish_iters=2)
+    key = jax.random.PRNGKey(0)
+    synth = jax.jit(synthesize_batch, static_argnames=("max_steps", "config"))
+    single = np.asarray(
+        synth(systems, cl, pr, key, max_steps=max_steps, config=cfg).robustness
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("b",))
+    sh = NamedSharding(mesh, P("b"))
+
+    def put(x):
+        return jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim >= 1 else x
+
+    s_sys, s_cl, s_pr = jax.tree.map(put, (systems, cl, pr))
+    res = synth(s_sys, s_cl, s_pr, key, max_steps=max_steps, config=cfg)
+    np.testing.assert_allclose(np.asarray(res.robustness), single,
+                               rtol=1e-4, atol=1e-5)
