@@ -25,8 +25,9 @@ from pdec.train.sft import make_sft_step
 def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "SMALL"
     cfg = getattr(configs, preset)
-    micro_b, seq = (8, 1024) if preset == "SMALL" else (4, 512)
-    accum = 2
+    micro_b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    seq = int(sys.argv[3]) if len(sys.argv) > 3 else min(cfg.max_seq, 1024)
+    accum = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     tcfg = TrainConfig(total_steps=100, grad_accum=accum)

@@ -25,9 +25,12 @@ from pdec.stl.ast import (
     OP_PUSH,
     TEMP_F,
     TEMP_G,
+    TEMP_U,
+    TEMP_U_RHS,
     Clause,
     CompiledSpec,
     Formula,
+    Until,
     compile_spec,
 )
 from pdec.stl.semantics import (
@@ -41,6 +44,9 @@ from pdec.stl.program import FemProgram, parse_fem_program
 
 __all__ = [
     "Clause",
+    "Until",
+    "TEMP_U",
+    "TEMP_U_RHS",
     "Formula",
     "CompiledSpec",
     "compile_spec",

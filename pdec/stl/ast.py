@@ -36,6 +36,8 @@ import numpy as np
 # Temporal operator codes.
 TEMP_G = 0  # globally / always
 TEMP_F = 1  # finally / eventually
+TEMP_U = 2  # until (binary): row i = left predicate, row i+1 = right
+TEMP_U_RHS = 3  # marker for an until clause's right-predicate row
 
 # Comparator codes.  Signed distance conventions in semantics.py.
 CMP_GT = 0
@@ -119,23 +121,75 @@ class Clause:
         return self.m * x + self.b
 
 
-# A Formula is either a Clause, or ("and"|"or", left, right).
-Formula = Union[Clause, Tuple[str, "Formula", "Formula"]]
+@dataclasses.dataclass(frozen=True)
+class Until:
+    """Binary until over two spatial predicates (BASELINE stretch config #3
+    — the reference's G/F-only dialect, ``eval_script.py:344-354``, has no
+    U; semantics follow standard quantitative STL evaluated at t = 0):
+
+        rho((p) U_[t0,t1] (q)) =
+            max_{t in [t0,t1]} min( rho(q, t), min_{s in [0,t]} rho(p, s) )
+
+    ``lhs``/``rhs`` are spatial predicates carried as `Clause`s whose own
+    temporal fields are ignored.  Compiles to TWO consecutive clause rows
+    (TEMP_U + TEMP_U_RHS); the RPN program pushes only the first.
+    """
+
+    t0: float
+    t1: float
+    lhs: Clause
+    rhs: Clause
+
+    @classmethod
+    def make(cls, time_interval: Tuple[float, float], lhs: Clause,
+             rhs: Clause) -> "Until":
+        return cls(
+            t0=float(time_interval[0]), t1=float(time_interval[1]),
+            lhs=lhs, rhs=rhs,
+        )
+
+
+# A Formula is a Clause, an Until, or ("and"|"or", left, right).
+Formula = Union[Clause, Until, Tuple[str, "Formula", "Formula"]]
 
 
 def formula_clauses(formula: Formula) -> list:
-    """All clauses of a formula in left-to-right order."""
+    """All clauses of a formula in left-to-right order (an Until
+    contributes its two predicate clauses)."""
     if isinstance(formula, Clause):
         return [formula]
+    if isinstance(formula, Until):
+        return [formula.lhs, formula.rhs]
     op, left, right = formula
     return formula_clauses(left) + formula_clauses(right)
 
 
+def _formula_rows(formula: Formula) -> list:
+    """Compiled clause rows (8-tuples) in emission order."""
+    if isinstance(formula, Clause):
+        c = formula
+        return [(c.temporal_op, c.t0, c.t1, c.x0, c.x1, c.m, c.b, c.cmp)]
+    if isinstance(formula, Until):
+        u = formula
+        return [
+            (TEMP_U, u.t0, u.t1, u.lhs.x0, u.lhs.x1, u.lhs.m, u.lhs.b,
+             u.lhs.cmp),
+            (TEMP_U_RHS, u.t0, u.t1, u.rhs.x0, u.rhs.x1, u.rhs.m, u.rhs.b,
+             u.rhs.cmp),
+        ]
+    op, left, right = formula
+    return _formula_rows(left) + _formula_rows(right)
+
+
 def _emit_rpn(formula: Formula, clause_offset: int, prog: list) -> int:
-    """Postfix-emit a formula; returns number of clauses consumed."""
+    """Postfix-emit a formula; returns number of clause ROWS consumed."""
     if isinstance(formula, Clause):
         prog.append((OP_PUSH, clause_offset))
         return 1
+    if isinstance(formula, Until):
+        # one push for the pair of rows; semantics reads row+1 itself
+        prog.append((OP_PUSH, clause_offset))
+        return 2
     op, left, right = formula
     n_left = _emit_rpn(left, clause_offset, prog)
     n_right = _emit_rpn(right, clause_offset + n_left, prog)
@@ -160,14 +214,14 @@ def compile_spec(
     max_clauses: int = MAX_CLAUSES,
     max_prog: int = MAX_PROG,
 ) -> CompiledSpec:
-    clauses = formula_clauses(formula)
-    if len(clauses) > max_clauses:
+    row_list = _formula_rows(formula)
+    if len(row_list) > max_clauses:
         raise ValueError(
-            f"formula has {len(clauses)} clauses > capacity {max_clauses}"
+            f"formula has {len(row_list)} clause rows > capacity {max_clauses}"
         )
     rows = np.zeros((max_clauses, 8), dtype=np.float32)
-    for i, c in enumerate(clauses):
-        rows[i] = (c.temporal_op, c.t0, c.t1, c.x0, c.x1, c.m, c.b, c.cmp)
+    for i, r in enumerate(row_list):
+        rows[i] = r
 
     prog: list = []
     _emit_rpn(formula, 0, prog)
@@ -176,7 +230,8 @@ def compile_spec(
     prog_arr = np.zeros((max_prog, 2), dtype=np.int32)  # OP_NOP padding
     for i, (op, arg) in enumerate(prog):
         prog_arr[i] = (op, arg)
-    return CompiledSpec(clauses=rows, program=prog_arr, n_clauses=len(clauses))
+    return CompiledSpec(clauses=rows, program=prog_arr,
+                        n_clauses=len(row_list))
 
 
 def stack_specs(specs: Sequence[CompiledSpec]):

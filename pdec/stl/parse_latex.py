@@ -28,7 +28,7 @@ import ast
 import re
 from typing import List, Sequence, Tuple, Union
 
-from pdec.stl.ast import Clause, Formula
+from pdec.stl.ast import Clause, Formula, Until
 
 _NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
@@ -147,16 +147,8 @@ def eval_linear_expression(expr: str) -> Tuple[float, float]:
     return linear_coeffs(tree)
 
 
-def parse_clause_latex(text: str) -> Clause:
-    """Parse one SSTL clause string into a typed `Clause`."""
-    tm = _TEMPORAL_RE.search(text)
-    if not tm:
-        raise SSTLParseError(f"no temporal operator in {text!r}")
-    temporal_op = tm.group(1)
-    if temporal_op == "U":
-        raise SSTLParseError("U (until) clauses are not supported")
-    t0, t1 = float(tm.group(2)), float(tm.group(3))
-
+def _parse_spatial_pred(text: str, temporal_op: str, time_interval) -> Clause:
+    """Parse one ``\\forall x ... (u(x) ... ~ thr)`` segment."""
     fm = _FORALL_RE.search(text)
     if not fm:
         raise SSTLParseError(f"no position interval in {text!r}")
@@ -178,7 +170,43 @@ def parse_clause_latex(text: str) -> Clause:
         m, b = eval_linear_expression(expr)
 
     # u - (m x + b) ~ thr   <=>   u - (m x + (b + thr)) ~ 0
-    return Clause.make(temporal_op, (t0, t1), (x0, x1), m, b + threshold, cmp)
+    return Clause.make(temporal_op, time_interval, (x0, x1), m, b + threshold,
+                       cmp)
+
+
+def parse_clause_latex(text: str) -> Union[Clause, Until]:
+    """Parse one SSTL clause string into a typed `Clause` (or `Until`).
+
+    Until uses the prefix dialect (beyond the reference's G/F-only
+    language, BASELINE stretch config #3):
+
+        U_[[t0, t1]] (\\forall x \\in [a, b] (u(x) ... > 0),
+                      \\forall x \\in [c, d] (u(x) ... > 0))
+
+    i.e. "the left predicate holds from t = 0 until, at some t in
+    [t0, t1], the right predicate holds" — standard quantitative STL
+    evaluated at t = 0.
+    """
+    tm = _TEMPORAL_RE.search(text)
+    if not tm:
+        raise SSTLParseError(f"no temporal operator in {text!r}")
+    temporal_op = tm.group(1)
+    t0, t1 = float(tm.group(2)), float(tm.group(3))
+    if temporal_op == "U":
+        foralls = list(_FORALL_RE.finditer(text))
+        if len(foralls) != 2:
+            raise SSTLParseError(
+                f"U clause needs exactly 2 predicates, got {len(foralls)} "
+                f"in {text!r}"
+            )
+        lhs_text = text[foralls[0].start():foralls[1].start()]
+        rhs_text = text[foralls[1].start():]
+        return Until.make(
+            (t0, t1),
+            _parse_spatial_pred(lhs_text, "G", (t0, t1)),
+            _parse_spatial_pred(rhs_text, "G", (t0, t1)),
+        )
+    return _parse_spatial_pred(text, temporal_op, (t0, t1))
 
 
 def split_sstl_structure(
@@ -275,18 +303,29 @@ def _fmt_num(v: float) -> str:
     return s
 
 
-def format_clause_latex(c: Clause) -> str:
+def _fmt_pred(c: Clause) -> str:
+    return (
+        f"\\forall x \\in [{_fmt_num(c.x0)}, {_fmt_num(c.x1)}]  "
+        f"(u(x) - ({_fmt_num(c.m)} \\cdot x + {_fmt_num(c.b)}) {c.cmp_str} 0)"
+    )
+
+
+def format_clause_latex(c: Union[Clause, Until]) -> str:
     """Format a clause in the ground-truth dialect used by the example bank."""
+    if isinstance(c, Until):
+        return (
+            f"U_[[{_fmt_num(c.t0)}, {_fmt_num(c.t1)}]] "
+            f"({_fmt_pred(c.lhs)}, {_fmt_pred(c.rhs)})"
+        )
     return (
         f"{c.temporal_op_str}_[[{_fmt_num(c.t0)}, {_fmt_num(c.t1)}]] "
-        f"(\\forall x \\in [{_fmt_num(c.x0)}, {_fmt_num(c.x1)}]  "
-        f"(u(x) - ({_fmt_num(c.m)} \\cdot x + {_fmt_num(c.b)}) {c.cmp_str} 0))"
+        f"({_fmt_pred(c)})"
     )
 
 
 def format_sstl_latex(formula: Formula) -> str:
     """Serialize a Formula back to the GT LaTeX dialect (round-trippable)."""
-    if isinstance(formula, Clause):
+    if isinstance(formula, (Clause, Until)):
         return format_clause_latex(formula)
     op, left, right = formula
     tok = "\\land" if op == "and" else "\\lor"

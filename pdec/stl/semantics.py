@@ -48,6 +48,7 @@ from pdec.stl.ast import (
     OP_PUSH,
     STACK_DEPTH,
     TEMP_F,
+    TEMP_U,
 )
 
 _BIG = 1e9
@@ -167,25 +168,50 @@ def _softmax_where(z, mask, tau, axis):
     return tau * logsumexp(z / tau, axis=axis, where=mask)
 
 
-def _clause_robustness(traj, ts, xs, clause_row):
-    """Hard robustness of one clause over the trajectory."""
-    temp_op, t0, t1 = clause_row[0], clause_row[1], clause_row[2]
-    g = _clause_time_signal(traj, ts, xs, clause_row)  # [T]
+def _time_window_mask(ts, t0, t1):
     mask_t = (ts >= t0 - _EPS) & (ts <= t1 + _EPS)
-    mask_t = _ensure_nonempty(mask_t, jnp.abs(ts - 0.5 * (t0 + t1)))
+    return _ensure_nonempty(mask_t, jnp.abs(ts - 0.5 * (t0 + t1)))
+
+
+def _clause_robustness(clause_row, ts, g, g_next):
+    """Hard robustness of one clause row given its (and its successor's)
+    spatial margin signal ``g[T]``.
+
+    G/F reduce ``g`` over the time window.  U (until, standard quantitative
+    STL at t = 0) needs BOTH rows of the compiled pair:
+
+        rho = max_{t in [t0,t1]} min( g_rhs[t], min_{s <= t} g_lhs[s] )
+
+    with the prefix-min computed by an associative scan (parallel on TPU).
+    Rows marked TEMP_U_RHS yield a dead value the program never pushes.
+    """
+    temp_op, t0, t1 = clause_row[0], clause_row[1], clause_row[2]
+    mask_t = _time_window_mask(ts, t0, t1)
     g_min = jnp.min(jnp.where(mask_t, g, _BIG))
     g_max = jnp.max(jnp.where(mask_t, g, -_BIG))
-    return jnp.where(temp_op == TEMP_F, g_max, g_min)
+    prefix_lhs = jax.lax.associative_scan(jnp.minimum, g)
+    u_val = jnp.max(
+        jnp.where(mask_t, jnp.minimum(g_next, prefix_lhs), -_BIG)
+    )
+    return jnp.where(
+        temp_op == TEMP_F, g_max,
+        jnp.where(temp_op == TEMP_U, u_val, g_min),
+    )
 
 
-def _clause_robustness_smooth(traj, ts, xs, clause_row, tau):
+def _clause_robustness_smooth(clause_row, ts, g, g_next, tau):
     temp_op, t0, t1 = clause_row[0], clause_row[1], clause_row[2]
-    g = _clause_time_signal_smooth(traj, ts, xs, clause_row, tau)  # [T]
-    mask_t = (ts >= t0 - _EPS) & (ts <= t1 + _EPS)
-    mask_t = _ensure_nonempty(mask_t, jnp.abs(ts - 0.5 * (t0 + t1)))
+    mask_t = _time_window_mask(ts, t0, t1)
     g_min = _softmin_where(g, mask_t, tau, axis=0)
     g_max = _softmax_where(g, mask_t, tau, axis=0)
-    return jnp.where(temp_op == TEMP_F, g_max, g_min)
+    # soft prefix-min: -tau * log cum-sum-exp(-g/tau) via associative scan
+    prefix_lhs = -tau * jax.lax.associative_scan(jnp.logaddexp, -g / tau)
+    pair = -tau * jnp.logaddexp(-g_next / tau, -prefix_lhs / tau)
+    u_val = _softmax_where(pair, mask_t, tau, axis=0)
+    return jnp.where(
+        temp_op == TEMP_F, g_max,
+        jnp.where(temp_op == TEMP_U, u_val, g_min),
+    )
 
 
 def _run_rpn(clause_vals, program, and2, or2):
@@ -247,7 +273,13 @@ def robustness(traj, ts, xs, clauses, program):
       clauses: ``[MAX_CLAUSES, 8]`` from `compile_spec`.
       program: ``[MAX_PROG, 2]`` from `compile_spec`.
     """
-    vals = jax.vmap(lambda row: _clause_robustness(traj, ts, xs, row))(clauses)
+    sig = jax.vmap(
+        lambda row: _clause_time_signal(traj, ts, xs, row)
+    )(clauses)  # [C, T]
+    sig_next = jnp.concatenate([sig[1:], sig[-1:]], axis=0)
+    vals = jax.vmap(
+        lambda row, g, gn: _clause_robustness(row, ts, g, gn)
+    )(clauses, sig, sig_next)
     return _run_rpn(vals, program, jnp.minimum, jnp.maximum)
 
 
@@ -261,7 +293,11 @@ def smooth_robustness(traj, ts, xs, clauses, program, tau=0.05):
     def or2(a, b):
         return tau * jnp.logaddexp(a / tau, b / tau)
 
+    sig = jax.vmap(
+        lambda row: _clause_time_signal_smooth(traj, ts, xs, row, tau)
+    )(clauses)  # [C, T]
+    sig_next = jnp.concatenate([sig[1:], sig[-1:]], axis=0)
     vals = jax.vmap(
-        lambda row: _clause_robustness_smooth(traj, ts, xs, row, tau)
-    )(clauses)
+        lambda row, g, gn: _clause_robustness_smooth(row, ts, g, gn, tau)
+    )(clauses, sig, sig_next)
     return _run_rpn(vals, program, and2, or2)
