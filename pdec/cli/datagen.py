@@ -52,6 +52,12 @@ def main(argv=None):
                    help="SynthesisConfig.high() labeling")
     p.add_argument("--merge", action="store_true",
                    help="fleet mode: merge completed shards + stats")
+    p.add_argument("--shards", default=None,
+                   help="fleet mode: explicit shard range 'a-b' (inclusive) "
+                        "or comma list, overriding host assignment — e.g. "
+                        "label a defined slice with --shards 0-12 --label, "
+                        "then generate the rest unlabeled (existing shards "
+                        "are skipped)")
     args = p.parse_args(argv)
 
     if args.out_dir is not None:
@@ -108,7 +114,17 @@ def _fleet_main(args):
     if args.total is None:
         raise SystemExit("--total is required in fleet mode")
     n_shards = args.n_shards or max(1, (args.total + 8191) // 8192)
-    mine = host_shards(n_shards, args.host_id, args.n_hosts)
+    if args.shards:
+        mine = []
+        for part in args.shards.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                mine.extend(range(int(a), int(b) + 1))
+            else:
+                mine.append(int(part))
+        mine = [s for s in mine if 0 <= s < n_shards]
+    else:
+        mine = host_shards(n_shards, args.host_id, args.n_hosts)
     print(f"host {args.host_id}/{args.n_hosts}: shards {mine}",
           file=sys.stderr)
     t0 = time.time()

@@ -38,11 +38,11 @@ from pdec.stl.semantics import robustness, smooth_robustness
 
 class SynthesisConfig(NamedTuple):
     """Defaults = the measured quality/throughput knee on v5e (see
-    benchmarks/quality_tradeoff.py): with the grid-seeded constant start,
-    26 anneal + 6 polish iterations sit within 0.3% mean hard robustness of
-    the 60-iter/8-start reference config (feasibility identical) at ~2x
-    the throughput.  Use `SynthesisConfig.high()` for GT labeling /
-    tolerance studies."""
+    benchmarks/quality_tradeoff.py), and — as of the round-3 anytime
+    incumbent + 2-phase presolve — the config PINNED by the in-suite 1%
+    grid-optimum tolerance (tests/test_optimality.py runs these exact
+    defaults; change them and the guarantee re-verifies or fails).  Use
+    `SynthesisConfig.high()` for GT labeling / tolerance studies."""
 
     chunk: int = 16  # fine steps per control knot; must divide max_steps
     n_iters: int = 26

@@ -78,3 +78,17 @@ def test_run_shard_with_labeling(tmp_path):
     rows = [json.loads(l)
             for l in open(os.path.join(str(tmp_path), "shard_00000.jsonl"))]
     assert all("robustness" in r and "time" in r for r in rows)
+
+
+def test_cli_explicit_shard_selection(tmp_path):
+    """--shards 'a-b,c' overrides host assignment (used to GT-label a
+    defined slice of a big corpus before generating the rest)."""
+    from pdec.cli.datagen import main as datagen_main
+
+    out = str(tmp_path / "c")
+    datagen_main(["--out-dir", out, "--total", "64", "--n-shards", "8",
+                  "--shards", "0-1,5"])
+    import os
+    have = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert have == ["shard_00000.jsonl", "shard_00001.jsonl",
+                    "shard_00005.jsonl"]
