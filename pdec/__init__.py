@@ -31,3 +31,31 @@ This package re-designs every layer of that system TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache for EVERY pdec entry point (first
+# compile of the synthesis graph over the device tunnel costs ~15 min;
+# without this only bench.py reused executables across processes).  The
+# env var must be staged before the first backend initialization; the
+# explicit config.update follows at import-jax time because env-var
+# config has been observed unreliable under the axon PJRT plugin.
+import os as _os
+
+_cache = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _configure_jax_cache():
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - jax absent or too old
+        pass
+
+
+_configure_jax_cache()

@@ -137,6 +137,91 @@ def problem_from_program(
     )
 
 
+@jax.jit
+def _batch_build_heat(xpart, rho_e, elastic_e, g0, dt):
+    a, b, c, x0 = jax.vmap(build_heat_system)(xpart, rho_e, elastic_e, g0, dt)
+    u = jax.vmap(lambda xp, e: control_scale(
+        "heat", xp, e, _DEFAULT_FIELD_SPAN["heat"]))(xpart, elastic_e)
+    return a, b, c, x0, u
+
+
+@jax.jit
+def _batch_build_wave(xpart, rho_e, elastic_e, g0, dt):
+    a, b, c, x0 = jax.vmap(build_wave_system)(xpart, rho_e, elastic_e, g0, dt)
+    u = jax.vmap(lambda xp, e: control_scale(
+        "wave", xp, e, _DEFAULT_FIELD_SPAN["wave"]))(xpart, elastic_e)
+    return a, b, c, x0, u
+
+
+def _spectral_ops_batched(a_d, b_d, c_d, x0) -> SpectralOps:
+    """Batched host-side eigendecomposition ([B,S,S] etc, numpy eig)."""
+    a = np.asarray(a_d, np.float64)
+    lam, v = np.linalg.eig(a)  # [B,S], [B,S,S]
+    v_inv = np.linalg.inv(v)
+    beta = np.einsum("bij,bj->bi", v_inv, np.asarray(b_d, np.float64))
+    gamma = np.einsum("bij,bj->bi", v_inv, np.asarray(c_d, np.float64))
+    z0 = np.einsum("bij,bj->bi", v_inv, np.asarray(x0, np.float64))
+
+    def sp(x):
+        return (jnp.asarray(np.real(x), jnp.float32),
+                jnp.asarray(np.imag(x), jnp.float32))
+
+    return SpectralOps(*sp(lam), *sp(v), *sp(beta), *sp(gamma), *sp(z0))
+
+
+def problems_from_programs(
+    progs, max_steps: int, dtype=np.float32
+) -> DiscreteSystem:
+    """Batched lowering: same-family programs -> ONE stacked `DiscreteSystem`.
+
+    Equivalent to ``stack_systems([problem_from_program(p) ...])`` but does
+    the FEM assembly in one jitted vmap dispatch and the eigendecomposition
+    as one batched ``np.linalg.eig`` — per-program host/device round trips
+    (~0.2 s each through the device tunnel) collapse to a handful of batched
+    transfers.  This is the hot path for datagen-scale utility scoring.
+    """
+    kind = progs[0].kind
+    n = progs[0].n_elements
+    if any(p.kind != kind or p.n_elements != n for p in progs):
+        raise ValueError("programs must share kind and n_elements")
+
+    xpart = np.stack([np.linspace(0.0, p.length, n + 1) for p in progs]
+                     ).astype(dtype)
+    mids = 0.5 * (xpart[:, :-1] + xpart[:, 1:])
+    rho_e = np.stack([[p.rho(float(x)) for x in row]
+                      for p, row in zip(progs, mids)]).astype(dtype)
+    elastic_e = np.stack([[p.elastic(float(x)) for x in row]
+                          for p, row in zip(progs, mids)]).astype(dtype)
+    g0 = np.asarray([p.g0 if (p.kind == "heat" and p.g0 is not None) else 0.0
+                     for p in progs], dtype)
+    dt = np.asarray([p.dt for p in progs], dtype)
+    n_steps = np.asarray([int(round(p.t_final / p.dt)) for p in progs],
+                         np.int32)
+    if int(n_steps.max()) > max_steps:
+        raise ValueError(f"n_steps {int(n_steps.max())} > max_steps {max_steps}")
+
+    build = _batch_build_heat if kind == "heat" else _batch_build_wave
+    a_d, b_d, c_d, x0, u_scale = build(xpart, rho_e, elastic_e, g0, dt)
+    return DiscreteSystem(
+        a_d=a_d, b_d=b_d, c_d=c_d, x0=x0,
+        g0=jnp.asarray(g0), xs=jnp.asarray(xpart), dt=jnp.asarray(dt),
+        n_steps=jnp.asarray(n_steps), u_scale=u_scale,
+        spectral=_spectral_ops_batched(a_d, b_d, c_d, x0), n_out=n,
+    )
+
+
+def take_systems(stacked: DiscreteSystem, idx) -> DiscreteSystem:
+    """Gather rows of a stacked `DiscreteSystem` (on-device fancy index)."""
+    idx = jnp.asarray(idx)
+    gather = lambda x: jnp.take(x, idx, axis=0)
+    spectral = (None if stacked.spectral is None
+                else jax.tree.map(gather, stacked.spectral))
+    fields = ("a_d", "b_d", "c_d", "x0", "g0", "xs", "dt", "n_steps",
+              "u_scale")
+    leaves = {f: gather(getattr(stacked, f)) for f in fields}
+    return DiscreteSystem(n_out=stacked.n_out, spectral=spectral, **leaves)
+
+
 def stack_systems(systems) -> DiscreteSystem:
     """Stack same-family `DiscreteSystem`s into leading-batch-dim arrays."""
     n_out = systems[0].n_out

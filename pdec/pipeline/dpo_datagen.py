@@ -27,11 +27,12 @@ import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from pdec.control.synthesis import SynthesisConfig, synthesize_batch, evaluate_controls
 from pdec.data.generator import GeneratedExample
-from pdec.physics.problem import problem_from_program, stack_systems
+from pdec.physics.problem import problems_from_programs, take_systems
 from pdec.stl.ast import Clause, Formula, compile_spec, formula_clauses, stack_specs
 from pdec.stl.parse_latex import format_sstl_latex
 
@@ -63,12 +64,21 @@ def _perturb_formula(rng: random.Random, f: Formula, t_final: float) -> Formula:
     return (op, left, _perturb_formula(rng, right, t_final))
 
 
+# fixed per-family horizon buckets (generator ranges: heat t_final <= 15 s
+# at dt 0.05 -> 300 steps; wave <= 2.2 s at dt 0.0025 -> 880) — STATIC jit
+# shapes, one compile per family instead of one per (horizon, group size)
+FAMILY_BUCKET = {"heat": 320, "wave": 896}
+
+
+def _pad_to(n: int, quantum: int = 256) -> int:
+    return max(((n + quantum - 1) // quantum) * quantum, quantum)
+
+
 def build_dpo_pairs(
     examples: Sequence[GeneratedExample],
     n_candidates: int = 4,
     synthesis: SynthesisConfig = SynthesisConfig(),
     seed: int = 0,
-    max_steps_bucket: int = 64,
 ) -> List[Dict]:
     """-> reference-schema DPO rows, one per (winner, loser) extreme pair."""
     rng = random.Random(seed)
@@ -80,29 +90,41 @@ def build_dpo_pairs(
         for _ in range(n_candidates):
             flat.append((i, _perturb_formula(rng, ex.formula, ex.program.t_final)))
 
-    # group by family for stacking
-    groups: Dict = {}
-    for j, (i, cand) in enumerate(flat):
-        prog = examples[i].program
-        n_steps = int(round(prog.t_final / prog.dt))
-        bucket = ((n_steps + max_steps_bucket - 1) // max_steps_bucket
-                  ) * max_steps_bucket
-        bucket = ((bucket + synthesis.chunk - 1) // synthesis.chunk
-                  ) * synthesis.chunk
-        groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(j)
+    # group EXAMPLES by family; each example's system is built once and
+    # gathered per candidate on device (the FEM lowering + eig, not the
+    # solve, dominated the old per-candidate path: ~0.2 s/system through
+    # the device tunnel)
+    ex_groups: Dict = {}
+    for i, ex in enumerate(examples):
+        prog = ex.program
+        bucket = FAMILY_BUCKET[prog.kind]
+        ex_groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(i)
 
     utilities = [None] * len(flat)
     times = [None] * len(flat)
-    for (kind, n_el, bucket), idxs in groups.items():
+    gt_cache = {}  # ex_idx -> compiled GT spec
+    for (kind, n_el, bucket), ex_idxs in ex_groups.items():
         t0 = time.perf_counter()
-        systems, cand_specs, gt_specs = [], [], []
+        sys_ex = problems_from_programs(
+            [examples[i].program for i in ex_idxs], max_steps=bucket)
+        pos_of_ex = {i: p for p, i in enumerate(ex_idxs)}
+        idxs = [j for j, (i, _) in enumerate(flat) if i in pos_of_ex]
+        positions, cand_specs, gt_specs = [], [], []
         for j in idxs:
             i, cand = flat[j]
-            systems.append(problem_from_program(examples[i].program,
-                                                max_steps=bucket))
+            positions.append(pos_of_ex[i])
             cand_specs.append(compile_spec(cand))
-            gt_specs.append(compile_spec(examples[i].formula))
-        stacked = stack_systems(systems)
+            if i not in gt_cache:
+                gt_cache[i] = compile_spec(examples[i].formula)
+            gt_specs.append(gt_cache[i])
+        # pad the batch to a fixed quantum (replicating the tail entry) so
+        # repeated calls share ONE compiled executable per family
+        n_real = len(idxs)
+        n_pad = _pad_to(n_real)
+        positions += [positions[-1]] * (n_pad - n_real)
+        cand_specs += [cand_specs[-1]] * (n_pad - n_real)
+        gt_specs += [gt_specs[-1]] * (n_pad - n_real)
+        stacked = take_systems(sys_ex, positions)
         cl, pr = stack_specs(cand_specs)
         res = jax.jit(
             synthesize_batch, static_argnames=("max_steps", "config")
@@ -115,7 +137,9 @@ def build_dpo_pairs(
             static_argnums=(4, 5),
         )(stacked, res.controls, jnp.asarray(cl_gt), jnp.asarray(pr_gt),
           bucket, synthesis.chunk)
-        per = (time.perf_counter() - t0) / max(len(idxs), 1)
+        scores = np.asarray(scores)  # ONE device->host transfer (per-element
+        # float() indexing costs a tunnel round trip each)
+        per = (time.perf_counter() - t0) / max(n_real, 1)
         for k, j in enumerate(idxs):
             utilities[j] = float(scores[k])
             times[j] = per
