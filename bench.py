@@ -53,6 +53,11 @@ import numpy as np
 # multiple (pdec.data.generator ranges)
 FAMILY_STEPS = {"heat": 320, "wave": 896}
 
+# max problems per synthesis dispatch PER CHIP: HLO temps scale with
+# lanes (= problems x n_starts) x horizon; wave at 1024 problems wants
+# 23 GB HBM (> the 16 GB v5e chip), 256 fits in ~6 GB
+FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
+
 
 def build_batch(kind: str, n_problems: int, seed: int = 0):
     from pdec.data.generator import GeneratorConfig, sample_problem
@@ -99,24 +104,35 @@ def time_family(kind: str, n_problems: int, config, n_chips: int):
     from pdec.control.synthesis import synthesize_batch
 
     systems, cl, pr, max_steps = build_batch(kind, n_problems)
-    systems, cl, pr = shard_batch((systems, cl, pr), n_chips)
+    # dispatch-size cap keeps the synthesis graph's HLO temps inside HBM;
+    # a family bigger than the cap is timed across several dispatches
+    cap = min(FAMILY_DISPATCH[kind] * n_chips, n_problems)
+    slices = [
+        jax.tree.map(lambda x: x[s:s + cap], (systems, cl, pr))
+        for s in range(0, n_problems, cap)
+    ]
+    slices = [shard_batch(tree, n_chips) for tree in slices]
     key = jax.random.PRNGKey(0)
     synth = jax.jit(synthesize_batch, static_argnames=("max_steps", "config"))
 
     # Warmup / compile.  np.asarray forces a device->host transfer, which is
     # a reliable completion barrier on every platform (block_until_ready has
     # been observed lying under tunneled/experimental PJRT plugins).
-    res = synth(systems, cl, pr, key, max_steps=max_steps, config=config)
+    sy, c, p = slices[0]
+    res = synth(sy, c, p, key, max_steps=max_steps, config=config)
     _ = np.asarray(res.robustness)
 
     times = []
+    feas = []
     for i in range(3):
         k = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        res = synth(systems, cl, pr, k, max_steps=max_steps, config=config)
-        _ = np.asarray(res.robustness)
+        feas = []
+        for sy, c, p in slices:
+            res = synth(sy, c, p, k, max_steps=max_steps, config=config)
+            feas.append(np.asarray(res.robustness) > 0)
         times.append(time.perf_counter() - t0)
-    feasible = float(jnp.mean((res.robustness > 0).astype(jnp.float32)))
+    feasible = float(np.mean(np.concatenate(feas)))
     return min(times), times, feasible
 
 

@@ -186,7 +186,8 @@ class ShardedEngine:
     backed by `ShardedDecoder` (drop-in for eval sweeps on a mesh)."""
 
     def __init__(self, params, model_cfg: ModelConfig, tokenizer, mesh: Mesh,
-                 lora=None, max_len: Optional[int] = None, chunk: int = 32):
+                 lora=None, max_len: Optional[int] = None, chunk: int = 32,
+                 max_batch: int = 256):
         self.tokenizer = tokenizer
         self.cfg = model_cfg
         self.max_len = max_len or model_cfg.max_seq
@@ -195,6 +196,9 @@ class ShardedEngine:
         self._params = params
         self._lora = lora
         self._chunk = chunk
+        # HBM ceiling: KV cache is O(batch x total_len); bigger prompt
+        # lists are served in chunks (same policy as InferenceEngine)
+        self.max_batch = max_batch
 
     def _decoder(self, total_len: int) -> ShardedDecoder:
         if total_len not in self._dec_cache:
@@ -206,6 +210,16 @@ class ShardedEngine:
 
     def generate(self, prompts: Sequence[str],
                  gen: GenerationConfig = GenerationConfig()) -> List[Generation]:
+        if len(prompts) > self.max_batch:
+            import dataclasses
+
+            from pdec.infer.engine import chunk_seed
+
+            out: List[Generation] = []
+            for ci, i in enumerate(range(0, len(prompts), self.max_batch)):
+                sub = dataclasses.replace(gen, seed=chunk_seed(gen.seed, ci))
+                out.extend(self.generate(prompts[i:i + self.max_batch], sub))
+            return out
         tok = self.tokenizer
         eos_id = tok.eos_token_id
         encoded = [tok.encode(p) for p in prompts]

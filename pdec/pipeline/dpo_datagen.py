@@ -69,6 +69,11 @@ def _perturb_formula(rng: random.Random, f: Formula, t_final: float) -> Formula:
 # shapes, one compile per family instead of one per (horizon, group size)
 FAMILY_BUCKET = {"heat": 320, "wave": 896}
 
+# max problems per synthesis dispatch: HLO temps scale with
+# lanes (= problems x n_starts) x horizon x AD-stored rollout state; wave
+# at 1024 problems needs 23 GB HBM (> the 16 GB chip), 256 fits in ~6 GB
+FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
+
 
 def _pad_to(n: int, quantum: int = 256) -> int:
     return max(((n + quantum - 1) // quantum) * quantum, quantum)
@@ -117,28 +122,36 @@ def build_dpo_pairs(
             if i not in gt_cache:
                 gt_cache[i] = compile_spec(examples[i].formula)
             gt_specs.append(gt_cache[i])
-        # pad the batch to a fixed quantum (replicating the tail entry) so
-        # repeated calls share ONE compiled executable per family
+        # pad to a multiple of the family's dispatch cap (replicating the
+        # tail entry): every dispatch shares ONE compiled executable AND
+        # stays under the HBM lane budget
+        cap = FAMILY_DISPATCH[kind]
         n_real = len(idxs)
-        n_pad = _pad_to(n_real)
+        n_pad = _pad_to(n_real, cap)
         positions += [positions[-1]] * (n_pad - n_real)
         cand_specs += [cand_specs[-1]] * (n_pad - n_real)
         gt_specs += [gt_specs[-1]] * (n_pad - n_real)
-        stacked = take_systems(sys_ex, positions)
         cl, pr = stack_specs(cand_specs)
-        res = jax.jit(
-            synthesize_batch, static_argnames=("max_steps", "config")
-        )(stacked, jnp.asarray(cl), jnp.asarray(pr), key, max_steps=bucket,
-          config=synthesis)
-        # 2. utility = achieved robustness on the ORIGINAL spec
         cl_gt, pr_gt = stack_specs(gt_specs)
-        scores = jax.jit(
-            jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
-            static_argnums=(4, 5),
-        )(stacked, res.controls, jnp.asarray(cl_gt), jnp.asarray(pr_gt),
-          bucket, synthesis.chunk)
-        scores = np.asarray(scores)  # ONE device->host transfer (per-element
-        # float() indexing costs a tunnel round trip each)
+        cl, pr = jnp.asarray(cl), jnp.asarray(pr)
+        cl_gt, pr_gt = jnp.asarray(cl_gt), jnp.asarray(pr_gt)
+        all_scores = []
+        for s in range(0, n_pad, cap):
+            stacked = take_systems(sys_ex, positions[s:s + cap])
+            res = jax.jit(
+                synthesize_batch, static_argnames=("max_steps", "config")
+            )(stacked, cl[s:s + cap], pr[s:s + cap], key, max_steps=bucket,
+              config=synthesis)
+            # 2. utility = achieved robustness on the ORIGINAL spec
+            scores = jax.jit(
+                jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
+                static_argnums=(4, 5),
+            )(stacked, res.controls, cl_gt[s:s + cap], pr_gt[s:s + cap],
+              bucket, synthesis.chunk)
+            # ONE device->host transfer per dispatch (per-element float()
+            # indexing costs a tunnel round trip each)
+            all_scores.append(np.asarray(scores))
+        scores = np.concatenate(all_scores)
         per = (time.perf_counter() - t0) / max(n_real, 1)
         for k, j in enumerate(idxs):
             utilities[j] = float(scores[k])

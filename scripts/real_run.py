@@ -204,6 +204,8 @@ def _load_role(args, role):
 
 def stage_eval(args):
     from pdec.infer.engine import InferenceEngine
+    from pdec.infer.sharded import ShardedEngine
+    from pdec.parallel.mesh import MeshConfig, make_mesh
     from pdec.pipeline.evaluate import EvalDriver
     from pdec.pipeline.sweep import run_sweep
 
@@ -220,10 +222,18 @@ def stage_eval(args):
             if m not in methods:
                 methods.append(m)
     engines = {}
+    # on-device chunked decode (lax.scan, 32 steps/dispatch) instead of
+    # the per-token host loop: through the device tunnel the host loop
+    # pays a dispatch + transfer round trip per token (~10x slower)
+    mesh = None if args.host_loop else make_mesh(MeshConfig())
     for role in roles:
         params, cfg, tok = _load_role(args, role)
-        engines[role] = InferenceEngine(params, cfg, tok,
-                                        max_len=args.max_len)
+        if mesh is None:
+            engines[role] = InferenceEngine(params, cfg, tok,
+                                            max_len=args.max_len)
+        else:
+            engines[role] = ShardedEngine(params, cfg, tok, mesh,
+                                          max_len=args.max_len)
     driver = EvalDriver(
         engines,
         temperature=args.temperature,
@@ -291,6 +301,9 @@ def main(argv=None):
                    help="per-role checkpoint dir override for eval loading")
     p.add_argument("--force-eval", action="store_true",
                    help="re-evaluate combos even when metrics.json exists")
+    p.add_argument("--host-loop", action="store_true",
+                   help="eval with the per-token host-loop engine instead "
+                        "of the on-device chunked decoder")
     p.add_argument("--reference-prompts", action="store_true",
                    help="use the reference's test-side prompt scaffold "
                         "verbatim (for imported pretrained checkpoints)")

@@ -150,3 +150,21 @@ def test_7b_config_sharded_decode_compiles(mesh):
     # the compiled decode must communicate (tp collectives), not replicate
     hlo = compiled.as_text()
     assert "all-reduce" in hlo or "reduce-scatter" in hlo or "all-gather" in hlo
+
+
+def test_sharded_max_batch_chunking(mesh, tiny_setup):
+    """Prompt lists beyond max_batch are served in chunks with identical
+    greedy outputs (the eval sweeps hand 512 prompts at once; the KV pool
+    must stay bounded)."""
+    params, sharded = tiny_setup
+    tok = ByteTokenizer()
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0, stop=())
+    prompts = [f"hello world {i}" for i in range(10)]
+
+    one = ShardedEngine(params, TINY, tok,
+                        make_mesh(MeshConfig(1, 1, 1), jax.devices()[:1]),
+                        max_len=64, max_batch=4)
+    base = InferenceEngine(params, TINY, tok, max_len=64, max_batch=4)
+    a = one.generate(prompts, gen)
+    b = base.generate(prompts, gen)
+    assert [x.token_ids for x in a] == [y.token_ids for y in b]
