@@ -56,7 +56,7 @@ FAMILY_STEPS = {"heat": 320, "wave": 896}
 # max problems per synthesis dispatch PER CHIP: HLO temps scale with
 # lanes (= problems x n_starts) x horizon; wave at 1024 problems wants
 # 23 GB HBM (> the 16 GB v5e chip), 256 fits in ~6 GB
-FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
+from pdec.control.synthesis import FAMILY_DISPATCH
 
 
 def build_batch(kind: str, n_problems: int, seed: int = 0):

@@ -36,6 +36,13 @@ from pdec.physics.spectral import spectral_trajectory_strided
 from pdec.stl.semantics import robustness, smooth_robustness
 
 
+# Per-family synthesis dispatch caps (problem lanes per jitted dispatch).
+# Lane parallelism is problems x n_starts x per-iteration AD temps; wave's
+# second-order state + ~3x longer horizons triple heat's HBM footprint, so
+# it gets a smaller lane budget (measured to fit a single v5e chip's HBM).
+FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
+
+
 class SynthesisConfig(NamedTuple):
     """Defaults = the measured quality/throughput knee on v5e (see
     benchmarks/quality_tradeoff.py), and — as of the round-3 anytime

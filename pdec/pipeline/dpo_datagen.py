@@ -72,7 +72,7 @@ FAMILY_BUCKET = {"heat": 320, "wave": 896}
 # max problems per synthesis dispatch: HLO temps scale with
 # lanes (= problems x n_starts) x horizon x AD-stored rollout state; wave
 # at 1024 problems needs 23 GB HBM (> the 16 GB chip), 256 fits in ~6 GB
-FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
+from pdec.control.synthesis import FAMILY_DISPATCH  # noqa: E402
 
 
 def _pad_to(n: int, quantum: int = 256) -> int:
