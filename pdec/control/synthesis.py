@@ -42,6 +42,12 @@ from pdec.stl.semantics import robustness, smooth_robustness
 # it gets a smaller lane budget (measured to fit a single v5e chip's HBM).
 FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
 
+# Canonical horizon bucket per family: the generator's max horizon, so every
+# same-family batch shares ONE compiled synthesis executable instead of one
+# per 64-step horizon bucket (compile time >> the ~1.5x padded-rollout cost
+# at datagen/eval scale; persistent-cache hits carry across processes).
+FAMILY_BUCKET = {"heat": 320, "wave": 896}
+
 
 class SynthesisConfig(NamedTuple):
     """Defaults = the measured quality/throughput knee on v5e (see

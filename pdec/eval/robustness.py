@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pdec.control.synthesis import (
+    FAMILY_BUCKET,
     FAMILY_DISPATCH,
     SynthesisConfig,
     evaluate_controls,
@@ -119,10 +120,16 @@ def eval_robustness_batch(
         if prog is None:
             continue
         n_steps = int(round(prog.t_final / prog.dt))
-        # coarser granularity trades padded compute for fewer horizon-bucket
-        # compiles (useful for one-shot labeling jobs on the tunnel device)
+        # quantize horizons to the family's canonical bucket when they fit:
+        # one synthesis executable per family instead of one per 64-step
+        # horizon bucket (padded steps are masked out of robustness windows)
+        fam = FAMILY_BUCKET.get(prog.kind)
+        if fam is not None and n_steps <= fam:
+            bucket_base = fam
+        else:
+            bucket_base = _round_up(max(n_steps, 1), bucket_granularity)
         bucket = _round_up(
-            _round_up(max(n_steps, 1), bucket_granularity), config.chunk
+            bucket_base, config.chunk
         )
         groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(i)
 

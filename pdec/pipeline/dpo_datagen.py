@@ -67,7 +67,7 @@ def _perturb_formula(rng: random.Random, f: Formula, t_final: float) -> Formula:
 # fixed per-family horizon buckets (generator ranges: heat t_final <= 15 s
 # at dt 0.05 -> 300 steps; wave <= 2.2 s at dt 0.0025 -> 880) — STATIC jit
 # shapes, one compile per family instead of one per (horizon, group size)
-FAMILY_BUCKET = {"heat": 320, "wave": 896}
+from pdec.control.synthesis import FAMILY_BUCKET  # noqa: E402
 
 # max problems per synthesis dispatch: HLO temps scale with
 # lanes (= problems x n_starts) x horizon x AD-stored rollout state; wave

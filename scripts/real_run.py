@@ -218,9 +218,13 @@ def stage_eval(args):
             controller_dir = path
     if os.path.isdir(controller_dir):
         roles.append("controller")
-        for m in ("full_pipeline", "reasoning_only"):
-            if m not in methods:
-                methods.append(m)
+        # augment the DEFAULT method list with the controller methods; an
+        # explicit --methods selection (e.g. the phased round-3 sweep) is
+        # honored verbatim
+        if args.methods == EVAL_METHODS:
+            for m in ("full_pipeline", "reasoning_only"):
+                if m not in methods:
+                    methods.append(m)
     engines = {}
     # on-device chunked decode (lax.scan, 32 steps/dispatch) instead of
     # the per-token host loop: through the device tunnel the host loop
