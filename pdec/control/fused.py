@@ -1,4 +1,14 @@
-"""Fused rollout + smooth robustness: the synthesis hot loop.
+"""Fused rollout + smooth robustness: a measured-and-rejected alternative.
+
+STATUS: not on the production path. `pdec.control.synthesis` ships the
+"wide" strided objective because on-device measurement
+(`benchmarks/microbench_synthesis.py`) shows it beats this streaming
+formulation on TPU — the MXU prefers few large parallel reductions over
+many small sequential scan steps, including in the backward pass. This
+module is retained as the reproducible half of that measurement (the
+microbench imports it) and as the reference implementation of the
+O(1)-memory streaming objective, which becomes the right trade-off if
+horizons ever grow to where the [T, X] trajectory no longer fits HBM.
 
 The naive objective materializes the full trajectory ``[T, X]`` and then
 per-clause margin tensors of the same size — at production batch sizes that
