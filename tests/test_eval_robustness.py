@@ -54,3 +54,37 @@ def test_mixed_batch():
     # same program, different per-item restart keys -> scores agree within
     # multi-start optimization noise
     assert abs(out[0][0] - out[2][0]) < 0.5
+
+
+def test_family_bucket_padding_is_masked():
+    """Horizon quantization (FAMILY_BUCKET) must not change hard robustness.
+
+    The same fixed control evaluated at the program's exact (chunk-rounded)
+    horizon and at the padded family bucket must agree exactly: padded steps
+    are excluded from every robustness window via `trajectory_times`.
+    """
+    import jax.numpy as jnp
+
+    from pdec.control.synthesis import FAMILY_BUCKET, evaluate_controls
+    from pdec.physics.problem import problem_from_program
+    from pdec.stl.ast import compile_spec
+    from pdec.stl.program import parse_fem_program
+
+    prog = parse_fem_program(HEAT_PROGRAM)
+    spec = compile_spec(prog.formula)
+    cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
+    n_steps = int(round(prog.t_final / prog.dt))
+    exact = ((n_steps + 15) // 16) * 16
+    fam = FAMILY_BUCKET["heat"]
+    assert exact < fam, "test needs a horizon shorter than the bucket"
+
+    knots = jnp.linspace(-0.5, 0.5, exact // 16)
+    sys_exact = problem_from_program(prog, max_steps=exact)
+    rho_exact = evaluate_controls(sys_exact, knots, cl, pr, exact)
+
+    sys_fam = problem_from_program(prog, max_steps=fam)
+    knots_fam = jnp.concatenate(
+        [knots, jnp.zeros((fam - exact) // 16)])
+    rho_fam = evaluate_controls(sys_fam, knots_fam, cl, pr, fam)
+
+    assert abs(float(rho_exact) - float(rho_fam)) < 1e-5
