@@ -45,13 +45,24 @@ def run_sweep(
     ]
     t0 = time.time()
     results = {}
+    failed = []
     for i, (name, method, shots) in enumerate(combos):
         items = load_jsonl(dataset_paths[name], max_num_examples)
-        res = driver.run(
-            items, eval_method=method, shots=shots, seed=seed,
-            dataset_name=name, out_dir=out_dir,
-            skip_existing_scores=skip_existing_scores,
-        )
+        try:
+            res = driver.run(
+                items, eval_method=method, shots=shots, seed=seed,
+                dataset_name=name, out_dir=out_dir,
+                skip_existing_scores=skip_existing_scores,
+            )
+        except Exception:
+            # a transient device/tunnel failure on one combo must not
+            # abort the sweep — per-combo caching makes retries cheap
+            logger.exception(
+                "[%d/%d] %s %s shots=%d FAILED (continuing)",
+                i + 1, len(combos), name, method, shots,
+            )
+            failed.append((name, method, shots))
+            continue
         results[(name, method, shots)] = res.metrics
         elapsed = time.time() - t0
         eta = elapsed / (i + 1) * (len(combos) - i - 1)
@@ -59,4 +70,7 @@ def run_sweep(
             "[%d/%d] %s %s shots=%d done | elapsed %.1fm eta %.1fm",
             i + 1, len(combos), name, method, shots, elapsed / 60, eta / 60,
         )
+    if failed:
+        logger.warning("sweep finished with %d failed combos: %s",
+                       len(failed), failed)
     return results
