@@ -159,7 +159,7 @@ def controller_utility_gain(
             return by_key
 
         t_by, b_by = keyed(t_preds), keyed(b_preds)
-        gains, t_vals, b_vals, wins = [], [], [], 0
+        gains, t_vals, b_vals, wins, ties = [], [], [], 0, 0
         for key, tp in t_by.items():
             bp = b_by.get(key)
             if bp is None:
@@ -171,6 +171,7 @@ def controller_utility_gain(
             t_vals.append(tr)
             b_vals.append(br)
             wins += tr > br
+            ties += tr == br
         if not gains:
             continue
         n = len(gains)
@@ -180,6 +181,7 @@ def controller_utility_gain(
             "mean_gain": mean_gain,
             "rel_gain_pct": 100.0 * mean_gain / max(abs(b_mean), 1e-9),
             "win_rate": wins / n,
+            "tie_rate": ties / n,
             "treatment_mean": sum(t_vals) / n,
             "baseline_mean": b_mean,
             "n_pairs": n,
@@ -198,15 +200,16 @@ def format_utility_gain_table(gains: Dict[str, Dict],
         "(the DPO reward signal; paper claim: up to 62% utility gain,\n"
         "reference README.md:34). Pairs matched per example x repeat.\n\n"
         "| dataset | mean utility (ctl) | mean utility (base) | mean gain "
-        "| rel gain % | win rate | n |\n"
-        "|---|---|---|---|---|---|---|\n"
+        "| rel gain % | win rate | tie rate | n |\n"
+        "|---|---|---|---|---|---|---|---|\n"
     )
     for key in sorted(gains):
         g = gains[key]
         text += (
             f"| {key} | {g['treatment_mean']:.4f} | {g['baseline_mean']:.4f} "
             f"| {g['mean_gain']:.4f} | {g['rel_gain_pct']:+.1f}% "
-            f"| {g['win_rate']:.3f} | {g['n_pairs']} |\n"
+            f"| {g['win_rate']:.3f} | {g.get('tie_rate', 0.0):.3f} "
+            f"| {g['n_pairs']} |\n"
         )
     return text
 

@@ -89,10 +89,17 @@ def build_dpo_pairs(
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
 
-    # 1. flatten (example, candidate) into one synthesis batch per family
+    # 1. flatten (example, candidate) into one synthesis batch per family.
+    # Candidate 0 is always the IDENTITY subgoal (the unperturbed spec):
+    # without it, every winner is "the least-bad perturbation" and DPO
+    # teaches the controller to ALWAYS rewrite the spec — measured on the
+    # round-3 sweep as a -2% utility gain vs the no-controller baseline.
+    # With identity in the pool, the controller learns to keep the spec
+    # unless a perturbation demonstrably helps the true objective.
     flat = []  # (ex_idx, formula)
     for i, ex in enumerate(examples):
-        for _ in range(n_candidates):
+        flat.append((i, ex.formula))
+        for _ in range(max(n_candidates - 1, 1)):
             flat.append((i, _perturb_formula(rng, ex.formula, ex.program.t_final)))
 
     # group EXAMPLES by family; each example's system is built once and
@@ -165,7 +172,11 @@ def build_dpo_pairs(
     for i, idxs in by_example.items():
         scored = sorted(idxs, key=lambda j: utilities[j], reverse=True)
         w, l = scored[0], scored[-1]
-        if utilities[w] <= utilities[l]:
+        # noise floor: multi-start synthesis jitters utilities by a few
+        # percent run-to-run; near-tie "preferences" are label noise that
+        # measurably degrades DPO preference accuracy
+        margin = utilities[w] - utilities[l]
+        if margin <= 0.05 * (abs(utilities[l]) + 1.0):
             continue  # no informative preference
         ex = examples[i]
         rows.append(

@@ -20,9 +20,9 @@ def test_dpo_pair_schema_and_ordering():
     rng = random.Random(11)
     examples = [
         sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
-        for _ in range(3)
+        for _ in range(8)
     ]
-    rows = build_dpo_pairs(examples, n_candidates=3, synthesis=FAST, seed=0)
+    rows = build_dpo_pairs(examples, n_candidates=4, synthesis=FAST, seed=0)
     assert rows, "no preference pairs produced"
     for row in rows:
         assert set(row) == REFERENCE_DPO_KEYS
@@ -34,3 +34,32 @@ def test_dpo_pair_schema_and_ordering():
         assert formula_clauses(w) and formula_clauses(l)
         assert row["dataset_class"] == "heat"
         assert row["nc"] == 1
+
+
+def test_identity_subgoal_wins_over_bad_perturbations(monkeypatch):
+    """The unperturbed spec is always candidate 0: when every perturbation
+    is catastrophically bad, the winner must be the identity subgoal."""
+    import dataclasses
+
+    import pdec.pipeline.dpo_datagen as dd
+    from pdec.stl.parse_latex import format_sstl_latex
+
+    def ruinous(rng, f, t_final):
+        def wreck(g):
+            if isinstance(g, Clause):
+                return dataclasses.replace(g, b=g.b + 1e6)
+            op, left, right = g
+            return (op, wreck(left), wreck(right))
+        return wreck(f)
+
+    monkeypatch.setattr(dd, "_perturb_formula", ruinous)
+    rng = random.Random(5)
+    examples = [
+        sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
+        for _ in range(2)
+    ]
+    rows = build_dpo_pairs(examples, n_candidates=3, synthesis=FAST, seed=1)
+    assert rows
+    for row in rows:
+        ex = examples[row["pidx"]]
+        assert row["w_sstl"] == format_sstl_latex(ex.formula)
