@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=256,
                    help="problems per synthesis dispatch")
+    p.add_argument("--no-chain", action="store_true",
+                   help="score candidates with the plain (unchained) "
+                        "utility instead of chained two-phase synthesis")
     args = p.parse_args(argv)
 
     from pdec.data.generator import GeneratorConfig, sample_problem
@@ -43,6 +46,7 @@ def main(argv=None):
                 examples[i : i + args.batch],
                 n_candidates=args.candidates,
                 seed=args.seed + i,
+                chain=not args.no_chain,
             )
         )
         done = min(i + args.batch, len(examples))

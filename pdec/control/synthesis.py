@@ -113,8 +113,17 @@ def synthesize(
     key,
     max_steps: int,
     config: SynthesisConfig = SynthesisConfig(),
+    init_knots=None,
 ) -> SynthesisResult:
-    """Synthesize the robustness-maximizing boundary control for one problem."""
+    """Synthesize the robustness-maximizing boundary control for one problem.
+
+    ``init_knots``: optional ``[n_chunks]`` pre-squash knot vector injected
+    into the start portfolio *in place of* one random start (chained
+    synthesis: the subgoal optimum warm-starts the true objective — the
+    gradient analogue of a Gurobi MIP start; compute stays identical to an
+    unchained run so chained-vs-direct comparisons are compute-matched).
+    The anytime incumbent guarantees the result is never worse than the
+    warm start's own hard robustness on THIS spec."""
     cfg = config
     if max_steps % cfg.chunk != 0:
         raise ValueError(f"max_steps {max_steps} not divisible by chunk {cfg.chunk}")
@@ -261,6 +270,8 @@ def synthesize(
         init = init.at[1].set(best_const)
     if cfg.n_starts > 2:
         init = init.at[2].set(best_pair)
+    if init_knots is not None:
+        init = init.at[min(3, cfg.n_starts - 1)].set(init_knots)
 
     hard, controls, thetas = jax.vmap(run_one_start)(init)
     best = jnp.argmax(hard)
@@ -279,14 +290,24 @@ def synthesize_batch(
     key,
     max_steps: int,
     config: SynthesisConfig = SynthesisConfig(),
+    init_knots=None,
 ) -> SynthesisResult:
     """Batched synthesis: all leaves of ``systems`` carry a leading batch dim
-    (same family => same shapes), ``clauses``/``programs`` are stacked specs."""
+    (same family => same shapes), ``clauses``/``programs`` are stacked specs.
+    ``init_knots``: optional ``[batch, n_chunks]`` per-problem warm starts."""
     batch = clauses.shape[0]
     keys = jax.random.split(key, batch)
 
-    def one(sys_i, cl, pr, k):
-        return synthesize(sys_i, cl, pr, k, max_steps, config)
-
     # n_out is static metadata, so axis 0 maps cleanly over all array leaves.
-    return jax.vmap(one, in_axes=(0, 0, 0, 0))(systems, clauses, programs, keys)
+    if init_knots is None:
+        def one(sys_i, cl, pr, k):
+            return synthesize(sys_i, cl, pr, k, max_steps, config)
+
+        return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+            systems, clauses, programs, keys)
+
+    def one_warm(sys_i, cl, pr, k, w):
+        return synthesize(sys_i, cl, pr, k, max_steps, config, init_knots=w)
+
+    return jax.vmap(one_warm, in_axes=(0, 0, 0, 0, 0))(
+        systems, clauses, programs, keys, init_knots)

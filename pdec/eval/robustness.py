@@ -58,6 +58,18 @@ def _round_up(n: int, m: int) -> int:
 _synthesize_jit = jax.jit(
     synthesize_batch, static_argnames=("max_steps", "config")
 )
+
+
+def _synthesize_warm(systems, clauses, programs, key, warm, *, max_steps,
+                     config):
+    return synthesize_batch(
+        systems, clauses, programs, key, max_steps, config, init_knots=warm
+    )
+
+
+_synthesize_warm_jit = jax.jit(
+    _synthesize_warm, static_argnames=("max_steps", "config")
+)
 _score_jit = jax.jit(
     jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
     static_argnums=(4, 5),
@@ -91,6 +103,7 @@ def eval_robustness_batch(
     config: SynthesisConfig = SynthesisConfig(),
     gt_formulas=None,
     bucket_granularity: int = 64,
+    chain: bool = False,
 ) -> List[Tuple[Scalar, Scalar]]:
     """Synthesize + score a batch of coder-dialect programs.
 
@@ -101,6 +114,18 @@ def eval_robustness_batch(
     from the NL); when given, the control is synthesized on the *program's*
     spec but scored on the ground truth — the utility definition used for
     DPO scoring (reference two-stage evaluation).
+
+    ``chain``: with ``gt_formulas``, run TWO-PHASE chained synthesis: phase
+    A optimizes the program's own spec (the intermediate — a predicted
+    translation or a controller subgoal), phase B re-optimizes the
+    ground-truth spec with phase A's optimum injected into the start
+    portfolio (the gradient analogue of a Gurobi MIP warm start).  The
+    anytime incumbent makes the chained utility >= the plain
+    synthesize-on-intermediate-score-on-GT utility, so an intermediate spec
+    can guide the search but never silently sabotage the true objective.
+    Both arms of a controller-vs-no-controller comparison should use the
+    same ``chain`` setting: the phases are compute-identical, so the delta
+    isolates the quality of the intermediate spec as a warm-start seed.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -224,7 +249,20 @@ def eval_robustness_batch(
             t_start = time.perf_counter()
             res = synth_fn(*synth_args)
 
-            if gt_formulas is not None:
+            if gt_formulas is not None and chain:
+                # Phase B: re-optimize the GT spec warm-started from phase
+                # A's optimum (see docstring); hard robustness is on GT.
+                cl_s, pr_s = stack_specs(c_score)
+                warm_args = (
+                    stacked, jnp.asarray(cl_s), jnp.asarray(pr_s),
+                    jax.random.fold_in(key, 1), res.knots,
+                )
+                warm_fn = _compiled(
+                    _synthesize_warm_jit, (bucket, config, "chain"),
+                    warm_args, dict(max_steps=bucket, config=config),
+                )
+                scores = warm_fn(*warm_args).robustness
+            elif gt_formulas is not None:
                 # Re-score the synthesized controls against the GT spec.
                 cl_s, pr_s = stack_specs(c_score)
                 score_args = (

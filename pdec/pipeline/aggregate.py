@@ -121,6 +121,7 @@ def controller_utility_gain(
     in_dir: str,
     treatment: str = "full_pipeline",
     baseline: str = "to_python_two_step",
+    metric_key: str = "robustness",
 ) -> Dict[str, Dict]:
     """Per-(dataset, shots) utility comparison of the DPO-controller
     pipeline vs the controller-free two-step baseline.
@@ -164,7 +165,7 @@ def controller_utility_gain(
             bp = b_by.get(key)
             if bp is None:
                 continue
-            tr, br = tp.get("robustness"), bp.get("robustness")
+            tr, br = tp.get(metric_key), bp.get(metric_key)
             if not (isinstance(tr, (int, float)) and isinstance(br, (int, float))):
                 continue
             gains.append(tr - br)
@@ -191,12 +192,21 @@ def controller_utility_gain(
 
 def format_utility_gain_table(gains: Dict[str, Dict],
                               treatment: str = "full_pipeline",
-                              baseline: str = "to_python_two_step") -> str:
+                              baseline: str = "to_python_two_step",
+                              chained: bool = False) -> str:
     if not gains:
         return ""
+    flavor = (
+        "Utility = CHAINED two-phase synthesis (the arm's intermediate\n"
+        "spec warm-starts the ground-truth objective; compute-matched\n"
+        "across arms — eval_robustness_batch(chain=True))"
+        if chained else
+        "Utility = achieved robustness of the generated control program"
+    )
     text = (
-        f"# Controller utility gain: {treatment} vs {baseline}\n\n"
-        "Utility = achieved robustness of the generated control program\n"
+        f"# Controller utility gain{' (chained)' if chained else ''}: "
+        f"{treatment} vs {baseline}\n\n"
+        f"{flavor}\n"
         "(the DPO reward signal; paper claim: up to 62% utility gain,\n"
         "reference README.md:34). Pairs matched per example x repeat.\n\n"
         "| dataset | mean utility (ctl) | mean utility (base) | mean gain "
@@ -234,5 +244,16 @@ def write_reports(in_dir: str, out_dir: Optional[str] = None,
         path = os.path.join(out_dir, "utility_gain.md")
         with open(path, "w") as f:
             f.write(text)
+        written.append(path)
+    # chained-utility variant: both arms scored under two-phase chained
+    # synthesis (phase A = the arm's intermediate spec as warm-start seed,
+    # phase B = the GT spec) — the deployment definition of utility; see
+    # pdec.eval.robustness.eval_robustness_batch(chain=True)
+    gains_c = controller_utility_gain(in_dir, metric_key="utility_chained")
+    text_c = format_utility_gain_table(gains_c, chained=True)
+    if text_c:
+        path = os.path.join(out_dir, "utility_gain_chained.md")
+        with open(path, "w") as f:
+            f.write(text_c)
         written.append(path)
     return written

@@ -39,7 +39,19 @@ from pdec.stl.parse_latex import format_sstl_latex
 
 def _perturb_clause(rng: random.Random, c: Clause, t_final: float) -> Clause:
     """One candidate-subgoal move on a clause."""
-    move = rng.choice(["offset", "tighten_time", "early", "slope"])
+    move = rng.choice(["offset", "tighten_time", "early", "slope", "relax"])
+    if move == "relax":
+        # ease the threshold in the satisfying direction ("solve an easier
+        # version first"): under chained scoring an easier subgoal is the
+        # canonical useful warm start — its optimum sits inside the true
+        # feasible region's basin instead of fighting the binding
+        # constraint from the first iteration
+        from pdec.stl.ast import CMP_GT, CMP_GE
+
+        delta = rng.uniform(0.1, 0.4) * (abs(c.b) + 1.0)
+        if c.cmp in (CMP_GT, CMP_GE):
+            return dataclasses.replace(c, b=c.b - delta)
+        return dataclasses.replace(c, b=c.b + delta)
     if move == "offset":
         delta = rng.uniform(-0.15, 0.15) * (abs(c.b) + 1.0)
         return dataclasses.replace(c, b=c.b + delta)
@@ -84,8 +96,21 @@ def build_dpo_pairs(
     n_candidates: int = 4,
     synthesis: SynthesisConfig = SynthesisConfig(),
     seed: int = 0,
+    chain: bool = True,
 ) -> List[Dict]:
-    """-> reference-schema DPO rows, one per (winner, loser) extreme pair."""
+    """-> reference-schema DPO rows, one per (winner, loser) extreme pair.
+
+    ``chain`` (default): utility = CHAINED two-phase synthesis — optimize
+    the candidate subgoal, then re-optimize the ORIGINAL spec with the
+    subgoal optimum in the start portfolio (`synthesize` ``init_knots``).
+    This is the utility the controller is deployed under (the subgoal
+    guides the search; the true objective always gets the final word), so
+    preferences trained on it rank subgoals by *how well they steer the
+    optimizer*, not by how little they deviate from the spec.  Candidate 0
+    (identity) scores exactly the no-controller chained baseline, so every
+    surviving pair certifies a subgoal that beats no-intervention.
+    ``chain=False`` keeps the round-3 plain definition (synthesize on the
+    candidate, score on the original)."""
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -149,12 +174,22 @@ def build_dpo_pairs(
                 synthesize_batch, static_argnames=("max_steps", "config")
             )(stacked, cl[s:s + cap], pr[s:s + cap], key, max_steps=bucket,
               config=synthesis)
-            # 2. utility = achieved robustness on the ORIGINAL spec
-            scores = jax.jit(
-                jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
-                static_argnums=(4, 5),
-            )(stacked, res.controls, cl_gt[s:s + cap], pr_gt[s:s + cap],
-              bucket, synthesis.chunk)
+            if chain:
+                # 2. utility = chained: re-optimize the ORIGINAL spec with
+                # the candidate's optimum in the start portfolio
+                scores = jax.jit(
+                    synthesize_batch, static_argnames=("max_steps", "config")
+                )(stacked, cl_gt[s:s + cap], pr_gt[s:s + cap],
+                  jax.random.fold_in(key, 1), max_steps=bucket,
+                  config=synthesis, init_knots=res.knots).robustness
+            else:
+                # 2. utility = achieved robustness on the ORIGINAL spec
+                scores = jax.jit(
+                    jax.vmap(evaluate_controls,
+                             in_axes=(0, 0, 0, 0, None, None)),
+                    static_argnums=(4, 5),
+                )(stacked, res.controls, cl_gt[s:s + cap], pr_gt[s:s + cap],
+                  bucket, synthesis.chunk)
             # ONE device->host transfer per dispatch (per-element float()
             # indexing costs a tunnel round trip each)
             all_scores.append(np.asarray(scores))

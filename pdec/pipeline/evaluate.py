@@ -116,6 +116,7 @@ class EvalDriver:
         eval_edit_distance: bool = True,
         eval_perplexity: bool = True,
         train_style_prompts: bool = False,
+        chain_utility: bool = True,
     ):
         self.engines = engines
         self.prompt_dataset = prompt_dataset
@@ -128,6 +129,7 @@ class EvalDriver:
         self.do_iou = eval_iou
         self.do_edit = eval_edit_distance
         self.do_ppl = eval_perplexity
+        self.chain_utility = chain_utility
         # The reference's TEST prompt for nl_to_sstl inserts a
         # "Spatial Signal Temporal Logic:" scaffold line that its TRAIN
         # prompt does not (few_shot_test.py:27 vs few_shot_train.py:30).
@@ -448,6 +450,24 @@ class EvalDriver:
                 metrics["robustness accuracy"] = float(sum(rob_acc) / len(rob_acc))
             if mres:
                 metrics["robustness mre"] = float(sum(mres) / len(mres))
+
+            # Chained utility: two-phase synthesis (program spec as warm
+            # start for the GT spec — eval_robustness_batch(chain=True)).
+            # The deployment utility for the controller comparison: both
+            # arms chain identically, so utility_gain isolates the
+            # intermediate spec's value as a warm-start seed.
+            if self.chain_utility:
+                chained = eval_robustness_batch(
+                    codes, key=jax.random.PRNGKey(1), config=self.synthesis,
+                    gt_formulas=gt_formulas, chain=True,
+                )
+                vals = []
+                for (it, p), (rob, _) in zip(paired, chained):
+                    p["utility_chained"] = rob
+                    if isinstance(rob, float):
+                        vals.append(rob)
+                if vals:
+                    metrics["utility chained"] = float(sum(vals) / len(vals))
             if time_mres:
                 metrics["simulation time mre"] = float(
                     sum(time_mres) / len(time_mres)

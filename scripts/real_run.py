@@ -262,6 +262,46 @@ def stage_eval(args):
     )
 
 
+def stage_rescore(args):
+    """Recompute metrics (incl. chained utility) from cached predictions.
+
+    No generation: every combo with a ``predictions.jsonl`` is re-run
+    through the metric pass via ``EvalDriver.run(load_from_file=True)``,
+    which adds per-prediction ``utility_chained`` and the
+    ``"utility chained"`` metric without touching the decoded text.  Lets
+    already-swept cells pick up metric upgrades at synthesis cost only."""
+    from pdec.pipeline.evaluate import EvalDriver
+    from pdec.pipeline.sweep import load_jsonl
+
+    driver = EvalDriver(
+        {},  # no engines: load_from_file never generates
+        temperature=args.temperature,
+        n_repeat_sampling=args.repeats,
+        train_style_prompts=not args.reference_prompts,
+    )
+    out_dir = os.path.join(args.root, "eval")
+    for name in args.datasets:
+        items = load_jsonl(
+            os.path.join("datasets", "test", name, "test.jsonl"),
+            args.eval_max,
+        )
+        for shots in args.shots:
+            for method in args.methods:
+                run_dir = os.path.join(
+                    out_dir, f"{name}_shots={shots}_seed={args.seed}", method
+                )
+                if not os.path.exists(
+                    os.path.join(run_dir, "predictions.jsonl")
+                ):
+                    continue
+                print(f"rescore: {name} {method} shots={shots}", flush=True)
+                driver.run(
+                    items, eval_method=method, shots=shots, seed=args.seed,
+                    dataset_name=name, out_dir=out_dir,
+                    load_from_file=True,
+                )
+
+
 def stage_aggregate(args):
     from pdec.pipeline.aggregate import write_reports
 
@@ -274,7 +314,8 @@ def stage_aggregate(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=["all", "corpus", "tokenizer", "train",
-                                     "dpo_data", "dpo", "eval", "aggregate"])
+                                     "dpo_data", "dpo", "eval", "rescore",
+                                     "aggregate"])
     p.add_argument("--root", default="runs/real")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", default="BASE")

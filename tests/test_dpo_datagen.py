@@ -22,7 +22,8 @@ def test_dpo_pair_schema_and_ordering():
         sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
         for _ in range(8)
     ]
-    rows = build_dpo_pairs(examples, n_candidates=4, synthesis=FAST, seed=0)
+    rows = build_dpo_pairs(examples, n_candidates=4, synthesis=FAST, seed=0,
+                           chain=False)
     assert rows, "no preference pairs produced"
     for row in rows:
         assert set(row) == REFERENCE_DPO_KEYS
@@ -58,8 +59,24 @@ def test_identity_subgoal_wins_over_bad_perturbations(monkeypatch):
         sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
         for _ in range(2)
     ]
-    rows = build_dpo_pairs(examples, n_candidates=3, synthesis=FAST, seed=1)
+    rows = build_dpo_pairs(examples, n_candidates=3, synthesis=FAST, seed=1,
+                           chain=False)
     assert rows
     for row in rows:
         ex = examples[row["pidx"]]
         assert row["w_sstl"] == format_sstl_latex(ex.formula)
+
+
+def test_chained_scoring_produces_schema_rows():
+    """chain=True (production default): utilities are chained two-phase
+    values; surviving pairs certify subgoals that beat no-intervention by
+    more than the noise floor, and the schema is unchanged."""
+    rng = random.Random(7)
+    examples = [
+        sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=2))
+        for _ in range(6)
+    ]
+    rows = build_dpo_pairs(examples, n_candidates=4, synthesis=FAST, seed=2)
+    for row in rows:
+        assert set(row) == REFERENCE_DPO_KEYS
+        assert row["w_utility"] > row["l_utility"]

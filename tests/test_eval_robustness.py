@@ -88,3 +88,56 @@ def test_family_bucket_padding_is_masked():
     rho_fam = evaluate_controls(sys_fam, knots_fam, cl, pr, fam)
 
     assert abs(float(rho_exact) - float(rho_fam)) < 1e-5
+
+
+def test_warm_start_never_worse_than_seed():
+    """synthesize(init_knots=w): anytime incumbent guarantees the result is
+    at least the warm-start control's own hard robustness on this spec."""
+    import jax.numpy as jnp
+
+    from pdec.control.synthesis import evaluate_controls, synthesize
+    from pdec.physics.problem import problem_from_program
+    from pdec.stl.ast import compile_spec
+    from pdec.stl.program import parse_fem_program
+
+    prog = parse_fem_program(HEAT_PROGRAM)
+    sys_ = problem_from_program(prog, max_steps=192)
+    spec = compile_spec(prog.formula)
+    cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
+    warm = jnp.linspace(-1.0, 1.0, 192 // 16)
+    rho_warm = evaluate_controls(
+        sys_, sys_.u_scale * jnp.tanh(warm), cl, pr, 192
+    )
+    res = synthesize(
+        sys_, cl, pr, jax.random.PRNGKey(3), 192, FAST, init_knots=warm
+    )
+    assert float(res.robustness) >= float(rho_warm) - 1e-5
+
+
+def test_chained_never_worse_than_plain_rescore():
+    """chain=True >= plain synthesize-on-intermediate-score-on-GT: phase B's
+    portfolio contains the phase-A optimum, whose *initial* incumbent IS the
+    plain rescore value."""
+    import dataclasses
+
+    from pdec.stl.ast import Clause
+    from pdec.stl.program import parse_fem_program
+
+    def shift(f, d):
+        if isinstance(f, Clause):
+            return dataclasses.replace(f, b=f.b + d)
+        op, l, r = f
+        return (op, shift(l, d), shift(r, d))
+
+    # GT differs from the program's own spec -> a genuine intermediate
+    gt = shift(parse_fem_program(HEAT_PROGRAM).formula, 2.0)
+    plain = eval_robustness_batch(
+        [HEAT_PROGRAM], key=jax.random.PRNGKey(5), config=FAST,
+        gt_formulas=[gt],
+    )
+    chained = eval_robustness_batch(
+        [HEAT_PROGRAM], key=jax.random.PRNGKey(5), config=FAST,
+        gt_formulas=[gt], chain=True,
+    )
+    assert isinstance(chained[0][0], float)
+    assert chained[0][0] >= plain[0][0] - 1e-4
