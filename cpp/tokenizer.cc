@@ -191,4 +191,119 @@ long long pdec_stream_feed(void* sv, int32_t id, uint8_t* out,
   return b.size();
 }
 
+// ---- training ---------------------------------------------------------
+//
+// Native byte-level BPE trainer: greedy max-count pair merging over raw
+// byte rows — no pre-tokenization, pairs never cross row boundaries
+// (parity with the ByteLevel(use_regex=False) setup the framework trains
+// under; closes the one N13 gap left in round 2, where learning a new
+// vocab still delegated to the in-image HF trainer).
+//
+// Incremental algorithm: a linked list over the whole corpus, a pair ->
+// count map, a pair -> positions index (append-only, validated lazily),
+// and a lazy max-heap of (count, pair) snapshots re-pushed on staleness.
+// Each merge touches only its occurrences' neighborhoods, so total work is
+// O(corpus + sum of occurrence-list lengths), not O(corpus x merges).
+//
+// Ids in the trainer's numbering: bytes are 0..255 in byte order, merge k
+// gets id 256+k (the Python wrapper shifts for special tokens).  Ties
+// break deterministically: count desc, then (left id, right id) asc.
+// Returns the number of merges learned — may stop early when no pair
+// occurs twice.  out_merges must hold 3*n_merges_target int32s.
+long long pdec_tok_train(const uint8_t* corpus, long long corpus_len,
+                         const long long* row_lens, long long n_rows,
+                         long long n_merges_target, int32_t* out_merges) {
+  long long total = 0;
+  for (long long r = 0; r < n_rows; ++r) total += row_lens[r];
+  if (total != corpus_len || total < 0) return -1;
+
+  std::vector<int32_t> ids(total);
+  std::vector<long long> nxt(total), prv(total);
+  std::vector<char> dead(total, 0);
+  long long off = 0;
+  for (long long r = 0; r < n_rows; ++r) {
+    const long long len = row_lens[r];
+    for (long long i = 0; i < len; ++i) {
+      ids[off + i] = corpus[off + i];
+      prv[off + i] = i > 0 ? off + i - 1 : -1;
+      nxt[off + i] = i + 1 < len ? off + i + 1 : -1;  // -1 ends the row
+    }
+    off += len;
+  }
+
+  std::unordered_map<uint64_t, long long> cnt;
+  std::unordered_map<uint64_t, std::vector<long long>> pos;
+  cnt.reserve(1 << 16);
+  for (long long i = 0; i < total; ++i) {
+    if (nxt[i] >= 0) {
+      const uint64_t k = pair_key(ids[i], ids[nxt[i]]);
+      ++cnt[k];
+      pos[k].push_back(i);
+    }
+  }
+
+  struct TCand {
+    long long count;
+    uint64_t key;
+    bool operator<(const TCand& o) const {
+      if (count != o.count) return count < o.count;
+      return key > o.key;  // smaller (left, right) wins ties
+    }
+  };
+  std::priority_queue<TCand> heap;
+  for (const auto& kv : cnt) {
+    if (kv.second >= 2) heap.push({kv.second, kv.first});
+  }
+
+  int32_t next_id = 256;
+  long long n_done = 0;
+  while (n_done < n_merges_target && !heap.empty()) {
+    const TCand c = heap.top();
+    heap.pop();
+    const auto it = cnt.find(c.key);
+    if (it == cnt.end() || it->second < 2) continue;
+    if (it->second != c.count) {  // stale snapshot: requeue at live count
+      heap.push({it->second, c.key});
+      continue;
+    }
+    const int32_t a = static_cast<int32_t>(c.key >> 32);
+    const int32_t b = static_cast<int32_t>(c.key & 0xffffffff);
+    const int32_t m = next_id++;
+    out_merges[3 * n_done] = a;
+    out_merges[3 * n_done + 1] = b;
+    out_merges[3 * n_done + 2] = m;
+    ++n_done;
+
+    auto bump = [&](int32_t l, int32_t r, long long at, long long delta) {
+      const uint64_t k = pair_key(l, r);
+      long long& v = cnt[k];
+      v += delta;
+      if (delta > 0) {
+        pos[k].push_back(at);
+        if (v >= 2) heap.push({v, k});
+      }
+    };
+
+    // move the list out: bump() may rehash `pos` mid-iteration
+    const std::vector<long long> plist = std::move(pos[c.key]);
+    for (const long long i : plist) {
+      if (dead[i] || ids[i] != a) continue;
+      const long long j = nxt[i];
+      if (j < 0 || dead[j] || ids[j] != b) continue;
+      const long long p = prv[i], k2 = nxt[j];
+      if (p >= 0) bump(ids[p], a, p, -1);
+      if (k2 >= 0) bump(b, ids[k2], j, -1);
+      ids[i] = m;
+      dead[j] = 1;
+      nxt[i] = k2;
+      if (k2 >= 0) prv[k2] = i;
+      if (p >= 0) bump(ids[p], m, p, +1);
+      if (k2 >= 0) bump(m, ids[k2], i, +1);
+    }
+    cnt.erase(c.key);
+    pos.erase(c.key);
+  }
+  return n_done;
+}
+
 }  // extern "C"

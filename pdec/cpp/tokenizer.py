@@ -74,6 +74,13 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
         ctypes.c_char_p, ctypes.c_longlong,
     ]
+    if hasattr(lib, "pdec_tok_train"):
+        lib.pdec_tok_train.restype = ctypes.c_longlong
+        lib.pdec_tok_train.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_int32),
+        ]
     lib._pdec_tok_bound = True
     return lib
 
@@ -126,7 +133,62 @@ class NativeBPETokenizer:
     # -- construction -----------------------------------------------------
     @classmethod
     def train(cls, texts: Sequence[str], vocab_size: int = 4096,
-              specials: Sequence[str] = ("<pad>", "<s>", "</s>")):
+              specials: Sequence[str] = ("<pad>", "<s>", "</s>"),
+              max_bytes: int = 64 << 20):
+        """Train a new vocab with the NATIVE trainer (``pdec_tok_train``,
+        cpp/tokenizer.cc): greedy max-count byte-pair merging over raw
+        rows, no pre-tokenization — the byte-level-no-regex setup this
+        framework's models use.  Ids: specials first (in the given order,
+        matching the HF trainer's convention), then the 256 byte tokens,
+        then one token per merge.  Falls back to `train_hf` when the
+        native extension is unavailable.  ``max_bytes`` caps the corpus
+        actually fed to the trainer (rows beyond the cap are dropped)."""
+        lib = _build_and_load()
+        if lib is None or not hasattr(lib, "pdec_tok_train"):
+            return cls.train_hf(texts, vocab_size, specials)
+        lib = _bind(lib)
+
+        rows: List[bytes] = []
+        total = 0
+        for t in texts:
+            raw = t.encode("utf-8")
+            if total + len(raw) > max_bytes:
+                break
+            rows.append(raw)
+            total += len(raw)
+        corpus = b"".join(rows)
+        row_lens = np.asarray([len(r) for r in rows], np.int64)
+        n_target = max(vocab_size - 256 - len(specials), 0)
+        out = np.empty((max(n_target, 1) * 3,), np.int32)
+        n = lib.pdec_tok_train(
+            corpus, len(corpus),
+            row_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            len(row_lens), n_target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if n < 0:
+            raise ValueError(f"native BPE training failed ({n})")
+
+        shift = len(specials)
+        vocab: List[bytes] = [b""] * shift + [bytes([i]) for i in range(256)]
+        merges: List[Tuple[int, int, int]] = []
+        for l, r, mid in out[: 3 * n].reshape(-1, 3).tolist():
+            merges.append((l + shift, r + shift, mid + shift))
+            vocab.append(vocab[l + shift] + vocab[r + shift])
+
+        def sid(name):
+            return specials.index(name) if name in specials else None
+
+        return cls(
+            vocab, merges,
+            bos_token_id=sid("<s>"),
+            eos_token_id=sid("</s>"),
+            pad_token_id=sid("<pad>"),
+        )
+
+    @classmethod
+    def train_hf(cls, texts: Sequence[str], vocab_size: int = 4096,
+                 specials: Sequence[str] = ("<pad>", "<s>", "</s>")):
         """Train with the in-image `tokenizers` BPE trainer (byte-level, no
         regex) and import the tables natively."""
         from tokenizers import Tokenizer, models, trainers

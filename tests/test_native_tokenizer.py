@@ -145,3 +145,56 @@ def test_stream_decoder_no_false_stop():
     assert not sd.stopped(("world",))
     sd.feed([ord("l"), ord("d")])
     assert sd.stopped(("world",))
+
+
+# ---- native trainer (pdec_tok_train) ------------------------------------
+
+TRAIN_CORPUS = [
+    "the heat equation rod must stay above the profile",
+    "the wave equation rod displacement is bounded",
+    "G_[0.0, 3.0] (forall x in [10, 50] (u(x) - (0.1 x + 5.0) > 0))",
+    "F_[1.0, 2.0] (forall x in [20, 80] (u(x) - (-0.2 x + 3.0) < 0))",
+] * 64
+
+
+def test_native_trainer_roundtrip_and_compression():
+    tok = NativeBPETokenizer.train(TRAIN_CORPUS, vocab_size=512)
+    assert tok.vocab_size <= 512
+    text = TRAIN_CORPUS[0] + " " + TRAIN_CORPUS[2]
+    ids = tok.encode(text, add_special_tokens=False)
+    assert tok.decode(ids) == text
+    # merges must actually compress: far fewer tokens than bytes
+    assert len(ids) < len(text.encode()) * 0.6
+    # specials carry ids 0..2 in the given order (HF trainer convention)
+    assert (tok.pad_token_id, tok.bos_token_id, tok.eos_token_id) == (0, 1, 2)
+
+
+def test_native_trainer_deterministic():
+    a = NativeBPETokenizer.train(TRAIN_CORPUS, vocab_size=384)
+    b = NativeBPETokenizer.train(TRAIN_CORPUS, vocab_size=384)
+    assert a.merges == b.merges
+    assert a.vocab == b.vocab
+
+
+def test_native_trainer_matches_python_encode():
+    """Native encode with trained tables == the pure-python greedy encoder
+    (same rank order), so the trainer's tables are well-formed."""
+    tok = NativeBPETokenizer.train(TRAIN_CORPUS, vocab_size=384)
+    for text in TRAIN_CORPUS[:4]:
+        native = tok.encode(text, add_special_tokens=False)
+        py = tok._encode_py(text.encode("utf-8"))
+        assert native == py
+
+
+def test_native_trainer_quality_parity_with_hf():
+    """Same-vocab-size compression within 10% of the HF trainer on held-out
+    text (merge ORDER may differ on count ties; quality must not)."""
+    held_out = (
+        "G_[0.5, 2.5] (forall x in [30, 60] (u(x) - (0.05 x + 4.0) > 0)) "
+        "and the heat rod profile must stay bounded above the wave"
+    )
+    nat = NativeBPETokenizer.train(TRAIN_CORPUS, vocab_size=512)
+    hf = NativeBPETokenizer.train_hf(TRAIN_CORPUS, vocab_size=512)
+    n_nat = len(nat.encode(held_out, add_special_tokens=False))
+    n_hf = len(hf.encode(held_out, add_special_tokens=False))
+    assert n_nat <= n_hf * 1.1
