@@ -35,7 +35,7 @@ run_phase() {
 
 run_phase runs/mid  MID  to_python_two_step full_pipeline
 run_phase runs/real BASE to_python_two_step full_pipeline
-run_phase runs/mid  MID  to_STL to_python_no_STL reasoning_only
-run_phase runs/real BASE to_STL to_python_no_STL reasoning_only
+run_phase runs/mid  MID  to_STL to_python_no_STL reasoning_only to_python_direct_with_sstl_cot
+run_phase runs/real BASE to_STL to_python_no_STL reasoning_only to_python_direct_with_sstl_cot
 
 echo "=== round3_eval2.sh DONE ==="
