@@ -279,3 +279,34 @@ def test_metric_stream_and_log_file(tmp_path):
         recs = [json.loads(l) for l in f]
     assert [r["step"] for r in recs] == [1, 2, 3]
     assert all("loss" in r and "lr" in r and "note" not in r for r in recs)
+
+
+def test_rescore_from_cached_predictions_adds_chained_utility(tmp_path):
+    """EvalDriver.run(load_from_file=True) with no engines recomputes
+    metrics from predictions.jsonl and attaches per-prediction
+    utility_chained + the "utility chained" metric — the real_run.py
+    `rescore` stage's contract for upgrading already-swept cells."""
+    from tests.test_stl_parse import HEAT_PROGRAM
+    from pdec.pipeline.evaluate import EvalDriver
+
+    cell = tmp_path / "tiny_shots=0_seed=0" / "to_python_two_step"
+    cell.mkdir(parents=True)
+    preds = [
+        {"nl": "x", "repeat_id": r, "predicted_python": HEAT_PROGRAM,
+         "predicted_sstl": "", "logprobs": [-0.5]}
+        for r in range(2)
+    ]
+    with open(cell / "predictions.jsonl", "w") as f:
+        for p in preds:
+            f.write(json.dumps(p) + "\n")
+    items = [{"nl": "x", "sstl": "", "python": HEAT_PROGRAM,
+              "robustness": -1.0}]
+    driver = EvalDriver({}, synthesis=FAST_SYNTH, n_repeat_sampling=2)
+    res = driver.run(
+        items, eval_method="to_python_two_step", shots=0, seed=0,
+        dataset_name="tiny", out_dir=str(tmp_path), load_from_file=True,
+    )
+    assert "utility chained" in res.metrics
+    with open(cell / "predictions.jsonl") as f:
+        saved = [json.loads(l) for l in f]
+    assert all(isinstance(p.get("utility_chained"), float) for p in saved)
