@@ -199,19 +199,36 @@ def build_dpo_pairs(
             utilities[j] = float(scores[k])
             times[j] = per
 
-    # 3. winner/loser rows per example
+    # 3. identity-anchored winner/loser rows per example.  The deployment
+    # decision the controller faces is "intervene with THIS subgoal or do
+    # nothing", so preferences are anchored at the identity candidate:
+    #   - a subgoal that beats identity by more than the noise floor ->
+    #     (subgoal, identity): intervene like this;
+    #   - otherwise, a rewrite that loses to identity by more than the
+    #     floor -> (identity, worst): do not rewrite like that.
+    # (best, worst) pairs between two non-identity perturbations teach
+    # neither decision and are not emitted.
     rows: List[Dict] = []
     by_example: Dict[int, List[int]] = {}
     for j, (i, _) in enumerate(flat):
         by_example.setdefault(i, []).append(j)
     for i, idxs in by_example.items():
+        ident = idxs[0]  # candidate 0 is always the identity subgoal
         scored = sorted(idxs, key=lambda j: utilities[j], reverse=True)
-        w, l = scored[0], scored[-1]
+        best, worst = scored[0], scored[-1]
+
         # noise floor: multi-start synthesis jitters utilities by a few
         # percent run-to-run; near-tie "preferences" are label noise that
         # measurably degrades DPO preference accuracy
-        margin = utilities[w] - utilities[l]
-        if margin <= 0.05 * (abs(utilities[l]) + 1.0):
+        def floor(j):
+            return 0.05 * (abs(utilities[j]) + 1.0)
+
+        if (best != ident
+                and utilities[best] - utilities[ident] > floor(ident)):
+            w, l = best, ident
+        elif utilities[ident] - utilities[worst] > floor(worst):
+            w, l = ident, worst
+        else:
             continue  # no informative preference
         ex = examples[i]
         rows.append(

@@ -41,7 +41,7 @@ for kind in heat wave; do
     out="datasets/dpo/r3c_${kind}_nc${nc}.jsonl"
     if [ ! -f "$out" ]; then
       python -m pdec.cli.dpo_datagen --kind "$kind" --nc "$nc" \
-        --n 4000 --candidates 4 --seed 7 --out "$out" \
+        --n 8000 --candidates 6 --seed 7 --out "$out" \
         || echo "DATAGEN FAILED: $kind nc$nc"
     else
       echo "$out exists, skipping"
