@@ -99,3 +99,45 @@ def test_defaults_within_tolerance_of_grid_optimum(fidx):
     assert rho >= best_grid - tolerance, (
         f"shipped defaults {rho:.4f} below grid optimum {best_grid:.4f}"
     )
+
+
+def test_wave_defaults_within_tolerance_of_grid_optimum():
+    """Wave family (second-order dynamics, unit-circle spectra): the
+    shipped defaults must also clear the exhaustive 2-phase grid optimum
+    within the 1% tolerance.  The heat-only harness left wave quality
+    vouched only by end-to-end tests (the family where controller
+    guidance matters most — see docs/ROUND3.md)."""
+    from pdec.physics.problem import problem_from_program
+    from pdec.stl.program import parse_fem_program
+    from tests.test_wave_synthesis import WAVE_PROGRAM
+
+    prog = parse_fem_program(WAVE_PROGRAM)
+    max_steps = 256
+    system = problem_from_program(prog, max_steps=max_steps)
+    spec = compile_spec(prog.formula)
+    cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
+
+    cfg = SynthesisConfig()
+    n_chunks = max_steps // cfg.chunk
+    half = n_chunks // 2
+    grid = jnp.linspace(-1.0, 1.0, 65) * system.u_scale
+
+    @jax.jit
+    def grid_best():
+        def rho_of(u1, u2):
+            controls = jnp.concatenate(
+                [jnp.full((half,), u1), jnp.full((n_chunks - half,), u2)]
+            )
+            return evaluate_controls(system, controls, cl, pr, max_steps,
+                                     cfg.chunk)
+        rhos = jax.vmap(
+            lambda u1: jax.vmap(lambda u2: rho_of(u1, u2))(grid)
+        )(grid)
+        return jnp.max(rhos)
+
+    best_grid = float(grid_best())
+    res = synthesize(system, cl, pr, jax.random.PRNGKey(0), max_steps, cfg)
+    rho = float(res.robustness)
+    assert rho >= best_grid - 0.01, (
+        f"wave defaults {rho:.4f} below grid optimum {best_grid:.4f}"
+    )
