@@ -48,6 +48,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+
+def _wait_for_device(budget_s: float = 600.0, poll_s: float = 30.0):
+    """The device tunnel drops transiently (measured: multi-hour outage
+    mid-round-3); a bench run that lands in such a window should wait a
+    bounded time instead of recording a spurious failure.  Probed in a
+    SUBPROCESS: a failed in-process backend init is cached by JAX for the
+    process lifetime, so only a fresh interpreter can re-test."""
+    import subprocess
+
+    t0 = time.time()
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=60,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:  # hung tunnel handshake
+            ok = False
+        if ok:
+            return
+        if time.time() - t0 > budget_s:
+            return  # let the real init raise the genuine error
+        print(f"bench: device unavailable; retrying for "
+              f"{budget_s - (time.time() - t0):.0f}s more",
+              file=sys.stderr, flush=True)
+        time.sleep(poll_s)
+
+
+_wait_for_device()
+
 # horizon buckets: heat t_final <= 15 s at dt 0.05 -> 300 steps; wave
 # t_final <= 2.2 s at dt 0.0025 -> 880 steps; both padded to a chunk
 # multiple (pdec.data.generator ranges)
