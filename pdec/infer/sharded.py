@@ -123,18 +123,65 @@ class ShardedDecoder:
             )
             return cache, prev, fin, toks.T, lps.T  # toks: [B, n_steps]
 
+        @functools.partial(
+            jax.jit, out_shardings=(rows, cshard), donate_argnums=(2,)
+        )
+        def prefill_into(params, lora, cache, tokens, valid):
+            """Continue prefill into an existing cache (prefix caching):
+            ``tokens`` append at the cache's per-row length offsets, so
+            suffix positions/rope/causal masking are exactly what a
+            single-pass prefill would compute for the same rows."""
+            base_len = cache["length"]
+            last = jnp.maximum(jnp.sum(valid, axis=1) - 1, 0)
+            logits, cache2 = forward(
+                params, tokens, cfg, kv_cache=cache, attn_mask=valid,
+                lora=lora, gather_positions=last,
+            )
+            cache2 = dict(cache2)
+            cache2["length"] = (
+                base_len + jnp.sum(valid, axis=1).astype(jnp.int32)
+            )
+            return logits[:, 0], cache2
+
+        @functools.partial(
+            jax.jit, static_argnames=("b",), out_shardings=cshard
+        )
+        def tile_cache(cache, b):
+            """Broadcast row 0's (shared-prefix) KV to all ``b`` rows."""
+            n_l = cache["k"].shape[0]
+            return {
+                "k": jnp.broadcast_to(
+                    cache["k"][:, :1], (n_l, b) + cache["k"].shape[2:]
+                ),
+                "v": jnp.broadcast_to(
+                    cache["v"][:, :1], (n_l, b) + cache["v"].shape[2:]
+                ),
+                "length": jnp.broadcast_to(cache["length"][:1], (b,)),
+            }
+
         self._prefill = prefill
+        self._prefill_into = prefill_into
+        self._tile_cache = tile_cache
         self._decode_chunk = decode_chunk
 
     def generate_ids(self, prompt_ids, prompt_valid, max_new_tokens: int,
                      eos_id: int, temperature: float = 0.0,
                      top_p: float = 1.0, seed: int = 0,
-                     host_check=None):
+                     host_check=None, shared_prefix_len: int = 0):
         """Generate up to ``max_new_tokens`` ids per row.
 
         ``host_check(tokens_so_far: np.ndarray, finished: np.ndarray) ->
         np.ndarray`` runs between chunks (once per ``self.chunk`` decode
         steps) and may mark extra rows finished (stop-string detection).
+
+        ``shared_prefix_len`` > 0 enables prefix caching: the first
+        ``shared_prefix_len`` tokens (identical across rows, left-aligned,
+        all valid — the caller guarantees this) are prefilled ONCE at the
+        mesh's minimum row count, the resulting KV is broadcast to all
+        rows, and only the per-row suffixes run the batched prefill.  For
+        few-shot eval sweeps the shared bank preamble dominates the
+        prompt, so prefix prefill compute drops ~batch-fold.
+
         Returns (ids [B, n_gen], n_gen).
         """
         b = prompt_ids.shape[0]
@@ -144,9 +191,24 @@ class ShardedDecoder:
         tokens = jax.device_put(jnp.asarray(prompt_ids), rows)
         valid = jax.device_put(jnp.asarray(prompt_valid), rows)
 
-        last_logits, cache = self._prefill(
-            self.params, self.lora, tokens, valid, max_len=self.max_len
-        )
+        pre = int(shared_prefix_len)
+        if pre > 0:
+            bm = self.batch_mult
+            pre_tokens = jnp.broadcast_to(tokens[:1, :pre], (bm, pre))
+            pre_valid = jnp.ones((bm, pre), bool)
+            _, pre_cache = self._prefill(
+                self.params, self.lora, pre_tokens, pre_valid,
+                max_len=self.max_len,
+            )
+            cache = self._tile_cache(pre_cache, b=b)
+            last_logits, cache = self._prefill_into(
+                self.params, self.lora, cache, tokens[:, pre:],
+                valid[:, pre:],
+            )
+        else:
+            last_logits, cache = self._prefill(
+                self.params, self.lora, tokens, valid, max_len=self.max_len
+            )
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
         first, logprobs0 = _sample(last_logits, k0, temperature, top_p)
@@ -187,7 +249,7 @@ class ShardedEngine:
 
     def __init__(self, params, model_cfg: ModelConfig, tokenizer, mesh: Mesh,
                  lora=None, max_len: Optional[int] = None, chunk: int = 32,
-                 max_batch: int = 256):
+                 max_batch: int = 256, prefix_cache: bool = True):
         self.tokenizer = tokenizer
         self.cfg = model_cfg
         self.max_len = max_len or model_cfg.max_seq
@@ -199,6 +261,9 @@ class ShardedEngine:
         # HBM ceiling: KV cache is O(batch x total_len); bigger prompt
         # lists are served in chunks (same policy as InferenceEngine)
         self.max_batch = max_batch
+        # vLLM-style automatic prefix caching: the shared few-shot bank
+        # preamble is prefilled once per batch instead of per row
+        self.prefix_cache = prefix_cache
 
     def _decoder(self, total_len: int) -> ShardedDecoder:
         if total_len not in self._dec_cache:
@@ -235,12 +300,40 @@ class ShardedEngine:
 
         tokens = np.zeros((bsz, t_pad), np.int32)
         valid = np.zeros((bsz, t_pad), bool)
+        clipped = []
         for i, e in enumerate(encoded):
             e = e[-t_pad:]
+            clipped.append(e)
             tokens[i, : len(e)] = e
             valid[i, : len(e)] = True
         for i in range(n, bsz):
             valid[i, :1] = True
+
+        # shared-prefix detection over the (truncation-adjusted) batch.
+        # Floor to a 64-token grid: within one eval cell the shared bank
+        # preamble dominates, so successive chunks land on the SAME
+        # quantized length and reuse one compiled (prefix, suffix) pair of
+        # executables instead of recompiling per chunk.
+        shared_prefix = 0
+        if self.prefix_cache and n > 1:
+            first = clipped[0]
+            shared_prefix = len(first)
+            for e in clipped[1:]:
+                m = min(shared_prefix, len(e))
+                i = 0
+                while i < m and e[i] == first[i]:
+                    i += 1
+                shared_prefix = i
+                if shared_prefix == 0:
+                    break
+            # every row must keep >= 1 suffix token (its last-prompt logit
+            # is gathered from the suffix pass)
+            shared_prefix = min(
+                shared_prefix, min(len(e) for e in clipped) - 1
+            )
+            shared_prefix = max((shared_prefix // 64) * 64, 0)
+            if shared_prefix < 64:
+                shared_prefix = 0
 
         from pdec.cpp.tokenizer import StreamDecoder
 
@@ -265,7 +358,7 @@ class ShardedEngine:
         ids, _ = dec.generate_ids(
             tokens, valid, gen.max_new_tokens, eos_id,
             temperature=gen.temperature, top_p=gen.top_p, seed=gen.seed,
-            host_check=host_check,
+            host_check=host_check, shared_prefix_len=shared_prefix,
         )
         lps = dec._last_logprobs
         # identical post-processing semantics to the unsharded engine

@@ -168,3 +168,35 @@ def test_sharded_max_batch_chunking(mesh, tiny_setup):
     a = one.generate(prompts, gen)
     b = base.generate(prompts, gen)
     assert [x.token_ids for x in a] == [y.token_ids for y in b]
+
+
+def test_prefix_cache_exactness(mesh, tiny_setup, monkeypatch):
+    """Automatic prefix caching (shared few-shot preamble prefilled once,
+    KV broadcast to the batch) must not change greedy outputs vs the
+    uncached path — and must actually engage for long shared prefixes."""
+    _, sharded = tiny_setup
+    tok = ByteTokenizer()
+    gen = GenerationConfig(max_new_tokens=10, temperature=0.0, stop=())
+    preamble = ("### Instruction: do the thing per the examples above. " * 3)
+    prompts = [preamble + tail for tail in
+               ("first input", "a second, longer input string", "third x")]
+
+    seen = {}
+    orig = ShardedDecoder.generate_ids
+
+    def spy(self, *a, **kw):
+        seen["prefix"] = kw.get("shared_prefix_len", 0)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ShardedDecoder, "generate_ids", spy)
+    cached = ShardedEngine(sharded, TINY, tok, mesh, max_len=256, chunk=4)
+    got = cached.generate(prompts, gen)
+    assert seen["prefix"] >= 64, "prefix cache did not engage"
+
+    uncached = ShardedEngine(sharded, TINY, tok, mesh, max_len=256, chunk=4,
+                             prefix_cache=False)
+    want = uncached.generate(prompts, gen)
+    for g, w in zip(got, want):
+        assert g.token_ids == w.token_ids
+        np.testing.assert_allclose(g.logprobs, w.logprobs, atol=1e-4)
+        assert g.text == w.text
