@@ -198,8 +198,16 @@ def forward(
             onehot = jax.nn.one_hot(idx, ck.shape[1], dtype=ck.dtype)  # [B,T,S]
             if attn_mask is not None:
                 onehot = onehot * attn_mask[:, :, None].astype(onehot.dtype)
-            ck = ck + jnp.einsum("bts,btkh->bskh", onehot, k)
-            cv = cv + jnp.einsum("bts,btkh->bskh", onehot, v)
+            # REPLACE semantics (not accumulate): slots being written are
+            # zeroed first.  For ordinary prefill/decode every slot is
+            # written at most once so this is bitwise-identical to the
+            # old add; it additionally makes cache-length REWIND sound —
+            # speculative decoding rolls rejected drafts back by resetting
+            # ``length``, and the stale slots are safely overwritten when
+            # real tokens land there (pdec.infer.speculative).
+            wrote = jnp.einsum("bts->bs", onehot)[:, :, None, None]
+            ck = ck * (1 - wrote) + jnp.einsum("bts,btkh->bskh", onehot, k)
+            cv = cv * (1 - wrote) + jnp.einsum("bts,btkh->bskh", onehot, v)
             attn_out = attention(
                 q, ck, cv, q_positions=positions,
                 kv_valid_len=lengths + t,
