@@ -31,6 +31,12 @@ ROLES = {
     "translator": ["to_STL"],
     "coder": ["to_python_no_STL", "to_python_GT_STL"],
 }
+# opt-in roles, trained only when named via --role (a generic small
+# domain LM over every SFT format: the DRAFT model for speculative
+# decoding; pass --role-preset draft=TINY at train AND eval time)
+OPTIONAL_ROLES = {
+    "draft": ["to_STL", "to_python_no_STL", "to_python_GT_STL"],
+}
 EVAL_METHODS = ["to_STL", "to_python_no_STL", "to_python_two_step"]
 DATASETS = ["heat_nc1_512", "heat_nc2_512", "heat_nc3_512",
             "wave_nc1_512", "wave_nc2_512", "wave_nc3_512"]
@@ -78,13 +84,14 @@ def stage_train(args, roles=None):
 
     for role in roles or ROLES:
         run_dir = os.path.join(args.root, role)
+        formats = ROLES.get(role) or OPTIONAL_ROLES[role]
         argv = [
             "--mode", "sft",
             "--data", _corpus_path(args),
-            "--base", args.preset,
+            "--base", _role_preset(args, role),
             "--tokenizer", _tok_path(args),
             "--run-dir", run_dir,
-            "--prompt-format", *ROLES[role],
+            "--prompt-format", *formats,
             "--max-len", str(args.max_len),
             "--micro-batch", str(args.micro_batch),
             "--steps", str(args.steps),
@@ -226,13 +233,26 @@ def stage_eval(args):
                 if m not in methods:
                     methods.append(m)
     engines = {}
+    draft = None
+    if args.speculative:
+        from pdec.infer.speculative import SpeculativeEngine
+
+        dparams, dcfg, _ = _load_role(args, "draft")
+        draft = (dparams, dcfg)
     # on-device chunked decode (lax.scan, 32 steps/dispatch) instead of
     # the per-token host loop: through the device tunnel the host loop
     # pays a dispatch + transfer round trip per token (~10x slower)
     mesh = None if args.host_loop else make_mesh(MeshConfig())
     for role in roles:
         params, cfg, tok = _load_role(args, role)
-        if mesh is None:
+        if draft is not None and mesh is not None:
+            from pdec.infer.speculative import SpeculativeEngine
+
+            engines[role] = SpeculativeEngine(
+                params, cfg, draft[0], draft[1], tok, mesh,
+                k=args.spec_k, max_len=args.max_len,
+            )
+        elif mesh is None:
             engines[role] = InferenceEngine(params, cfg, tok,
                                             max_len=args.max_len)
         else:
@@ -346,6 +366,12 @@ def main(argv=None):
                    help="per-role checkpoint dir override for eval loading")
     p.add_argument("--force-eval", action="store_true",
                    help="re-evaluate combos even when metrics.json exists")
+    p.add_argument("--speculative", action="store_true",
+                   help="serve eval generation through draft-verify "
+                        "speculative decoding (requires a trained 'draft' "
+                        "role; pass --role-preset draft=<PRESET>)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens proposed per speculative step")
     p.add_argument("--host-loop", action="store_true",
                    help="eval with the per-token host-loop engine instead "
                         "of the on-device chunked decoder")
