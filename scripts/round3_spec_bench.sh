@@ -1,0 +1,35 @@
+#!/bin/bash
+# Speculative-decoding measurement on the real chip (run AFTER
+# round3_master.sh so it never contends with the protocol sweep):
+#   1. train the MID family's draft model (TINY-class, MID tokenizer,
+#      all SFT formats) if absent,
+#   2. run one generation-heavy eval cell twice - speculative vs plain -
+#      and report the wall-clock ratio (per-combo times are in the sweep
+#      log lines); greedy equality of the two metrics.json files is the
+#      correctness check (temp 0.2 sampling differs by design, so the
+#      timing cells run the same seeds but are compared on wall-clock,
+#      not content).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+if [ ! -d runs/mid/draft ]; then
+  python scripts/real_run.py train --root runs/mid --role draft \
+    --role-preset draft=TINY --steps 1500 \
+    || echo "DRAFT TRAIN FAILED"
+fi
+
+for mode in spec plain; do
+  out="/tmp/specbench_$mode"
+  rm -rf "$out"; mkdir -p "$out"
+  ln -s "$(pwd)"/runs/mid/tokenizer.json "$(pwd)"/runs/mid/translator \
+        "$(pwd)"/runs/mid/coder "$(pwd)"/runs/mid/controller \
+        "$(pwd)"/runs/mid/draft "$out"/ 2>/dev/null || true
+  extra=""
+  [ "$mode" = spec ] && extra="--speculative --role-preset draft=TINY"
+  echo "=== $mode ==="
+  /usr/bin/time -v python scripts/real_run.py eval --root "$out" \
+    --preset MID $extra --repeats 1 --eval-max 128 \
+    --methods to_python_two_step --datasets heat_nc1_512 2>&1 \
+    | grep -E "done \| elapsed|Elapsed"
+done
+echo "=== round3_spec_bench.sh DONE ==="
