@@ -60,8 +60,13 @@ def _wait_for_device(budget_s: float = 600.0, poll_s: float = 30.0):
     t0 = time.time()
     while True:
         try:
+            # a failed TPU-plugin init can silently FALL BACK to the CPU
+            # backend with returncode 0, so the probe must assert a
+            # non-cpu platform is actually present
             probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import sys, jax; sys.exit(0 if any("
+                 "d.platform != 'cpu' for d in jax.devices()) else 1)"],
                 capture_output=True, timeout=60,
             )
             ok = probe.returncode == 0

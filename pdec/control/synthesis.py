@@ -118,10 +118,12 @@ def synthesize(
     """Synthesize the robustness-maximizing boundary control for one problem.
 
     ``init_knots``: optional ``[n_chunks]`` pre-squash knot vector injected
-    into the start portfolio *in place of* one random start (chained
-    synthesis: the subgoal optimum warm-starts the true objective — the
-    gradient analogue of a Gurobi MIP start; compute stays identical to an
-    unchained run so chained-vs-direct comparisons are compute-matched).
+    into the start portfolio — in place of one random start when
+    ``n_starts > 3`` (compute-matched with an unchained run for
+    chained-vs-direct comparisons), or as one extra lane for small
+    portfolios that have no random slot to spare (chained synthesis: the
+    subgoal optimum warm-starts the true objective — the gradient
+    analogue of a Gurobi MIP start).
     The anytime incumbent guarantees the result is never worse than the
     warm start's own hard robustness on THIS spec."""
     cfg = config
@@ -271,7 +273,16 @@ def synthesize(
     if cfg.n_starts > 2:
         init = init.at[2].set(best_pair)
     if init_knots is not None:
-        init = init.at[min(3, cfg.n_starts - 1)].set(init_knots)
+        if cfg.n_starts > 3:
+            # replace one RANDOM start: compute-matched with an unchained
+            # run (slots 0-2 are the zero/const/two-phase heuristics)
+            init = init.at[3].set(init_knots)
+        else:
+            # small portfolios have no random slot to spare — grow by one
+            # lane rather than evict a heuristic start (evicting best_const
+            # or best_pair can make the chained arm WORSE than unchained
+            # on specs whose optimum sits in that start's basin)
+            init = jnp.concatenate([init, init_knots[None, :]], axis=0)
 
     hard, controls, thetas = jax.vmap(run_one_start)(init)
     best = jnp.argmax(hard)

@@ -104,11 +104,17 @@ def eval_robustness_batch(
     gt_formulas=None,
     bucket_granularity: int = 64,
     chain: bool = False,
-) -> List[Tuple[Scalar, Scalar]]:
+    return_both: bool = False,
+) -> List[Tuple[Scalar, ...]]:
     """Synthesize + score a batch of coder-dialect programs.
 
     Returns per-program ``(robustness, runtime_seconds)``; unparseable
     programs get ``("failed", "failed")`` (reference failure sentinel).
+    With ``chain=True, return_both=True`` each entry is
+    ``(plain_robustness, runtime, chained_robustness)`` — both utilities
+    from ONE phase-A synthesis (the eval driver needs both metrics;
+    re-running phase A for the chained pass would add ~50% wasted device
+    time to every cell).
 
     ``gt_formulas``: optional per-program ground-truth `Formula` (parsed
     from the NL); when given, the control is synthesized on the *program's*
@@ -249,6 +255,7 @@ def eval_robustness_batch(
             t_start = time.perf_counter()
             res = synth_fn(*synth_args)
 
+            chained_scores = None
             if gt_formulas is not None and chain:
                 # Phase B: re-optimize the GT spec warm-started from phase
                 # A's optimum (see docstring); hard robustness is on GT.
@@ -261,7 +268,21 @@ def eval_robustness_batch(
                     _synthesize_warm_jit, (bucket, config, "chain"),
                     warm_args, dict(max_steps=bucket, config=config),
                 )
-                scores = warm_fn(*warm_args).robustness
+                chained = warm_fn(*warm_args).robustness
+                if return_both:
+                    # plain rescore from the SAME phase-A result
+                    score_args = (
+                        stacked, res.controls, jnp.asarray(cl_s),
+                        jnp.asarray(pr_s),
+                    )
+                    score_fn = _compiled(
+                        _score_jit, (bucket, config.chunk),
+                        score_args + (bucket, config.chunk), {},
+                    )
+                    scores = score_fn(*score_args)
+                    chained_scores = np.asarray(chained)
+                else:
+                    scores = chained
             elif gt_formulas is not None:
                 # Re-score the synthesized controls against the GT spec.
                 cl_s, pr_s = stack_specs(c_score)
@@ -282,7 +303,11 @@ def eval_robustness_batch(
             elapsed = time.perf_counter() - t_start
             per_item = elapsed / max(n_real, 1)
             for j, i in enumerate(c_idxs[:n_real]):
-                results[i] = (float(scores[j]), per_item)
+                if chained_scores is not None:
+                    results[i] = (float(scores[j]), per_item,
+                                  float(chained_scores[j]))
+                else:
+                    results[i] = (float(scores[j]), per_item)
 
     return results
 

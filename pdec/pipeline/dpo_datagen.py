@@ -199,37 +199,53 @@ def build_dpo_pairs(
             utilities[j] = float(scores[k])
             times[j] = per
 
-    # 3. identity-anchored winner/loser rows per example.  The deployment
-    # decision the controller faces is "intervene with THIS subgoal or do
-    # nothing", so preferences are anchored at the identity candidate:
-    #   - a subgoal that beats identity by more than the noise floor ->
-    #     (subgoal, identity): intervene like this;
-    #   - otherwise, a rewrite that loses to identity by more than the
-    #     floor -> (identity, worst): do not rewrite like that.
-    # (best, worst) pairs between two non-identity perturbations teach
-    # neither decision and are not emitted.
+    return emit_pairs(examples, flat, utilities, times)
+
+
+def select_preference(utilities: Sequence[float]):
+    """Identity-anchored preference selection for ONE example's candidate
+    utilities (index 0 = the identity subgoal).  The deployment decision
+    the controller faces is "intervene with THIS subgoal or do nothing",
+    so preferences anchor at identity:
+
+      - a subgoal that beats identity by more than the noise floor ->
+        (subgoal, identity): intervene like this;
+      - otherwise, a rewrite that loses to identity by more than the
+        floor -> (identity, worst): do not rewrite like that;
+      - else None: no informative preference.
+
+    (best, worst) pairs between two non-identity perturbations teach
+    neither decision and are never emitted.  The noise floor exists
+    because multi-start synthesis jitters utilities by a few percent
+    run-to-run; near-tie "preferences" are label noise that measurably
+    degrades DPO preference accuracy.
+    """
+    idxs = list(range(len(utilities)))
+    ident = 0
+    best = max(idxs, key=lambda j: utilities[j])
+    worst = min(idxs, key=lambda j: utilities[j])
+
+    def floor(j):
+        return 0.05 * (abs(utilities[j]) + 1.0)
+
+    if best != ident and utilities[best] - utilities[ident] > floor(ident):
+        return best, ident
+    if utilities[ident] - utilities[worst] > floor(worst):
+        return ident, worst
+    return None
+
+
+def emit_pairs(examples, flat, utilities, times) -> List[Dict]:
+    """reference-schema rows from scored candidates (see select_preference)."""
     rows: List[Dict] = []
     by_example: Dict[int, List[int]] = {}
     for j, (i, _) in enumerate(flat):
         by_example.setdefault(i, []).append(j)
     for i, idxs in by_example.items():
-        ident = idxs[0]  # candidate 0 is always the identity subgoal
-        scored = sorted(idxs, key=lambda j: utilities[j], reverse=True)
-        best, worst = scored[0], scored[-1]
-
-        # noise floor: multi-start synthesis jitters utilities by a few
-        # percent run-to-run; near-tie "preferences" are label noise that
-        # measurably degrades DPO preference accuracy
-        def floor(j):
-            return 0.05 * (abs(utilities[j]) + 1.0)
-
-        if (best != ident
-                and utilities[best] - utilities[ident] > floor(ident)):
-            w, l = best, ident
-        elif utilities[ident] - utilities[worst] > floor(worst):
-            w, l = ident, worst
-        else:
-            continue  # no informative preference
+        pick = select_preference([utilities[j] for j in idxs])
+        if pick is None:
+            continue
+        w, l = idxs[pick[0]], idxs[pick[1]]
         ex = examples[i]
         rows.append(
             {

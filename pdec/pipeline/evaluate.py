@@ -425,11 +425,18 @@ class EvalDriver:
                     gt_formulas.append(None)
             results = eval_robustness_batch(
                 codes, key=jax.random.PRNGKey(0), config=self.synthesis,
-                gt_formulas=gt_formulas,
+                gt_formulas=gt_formulas, chain=self.chain_utility,
+                return_both=self.chain_utility,
             )
             rob_acc, mres, time_mres = [], [], []
+            chained_vals = []
             n_failed = 0
-            for (it, p), (rob, runtime) in zip(paired, results):
+            for (it, p), entry in zip(paired, results):
+                rob, runtime = entry[0], entry[1]
+                if len(entry) > 2:  # chained utility from the same phase A
+                    p["utility_chained"] = entry[2]
+                    if isinstance(entry[2], float):
+                        chained_vals.append(entry[2])
                 p["robustness"] = rob
                 p["time"] = runtime
                 gt_rob = it.get("robustness")
@@ -451,23 +458,15 @@ class EvalDriver:
             if mres:
                 metrics["robustness mre"] = float(sum(mres) / len(mres))
 
-            # Chained utility: two-phase synthesis (program spec as warm
-            # start for the GT spec — eval_robustness_batch(chain=True)).
-            # The deployment utility for the controller comparison: both
-            # arms chain identically, so utility_gain isolates the
-            # intermediate spec's value as a warm-start seed.
-            if self.chain_utility:
-                chained = eval_robustness_batch(
-                    codes, key=jax.random.PRNGKey(1), config=self.synthesis,
-                    gt_formulas=gt_formulas, chain=True,
+            # Chained utility (two-phase synthesis: program spec as warm
+            # start for the GT spec) came out of the SAME phase-A pass as
+            # the robustness metric above — both arms chain identically,
+            # so utility_gain isolates the intermediate spec's value as a
+            # warm-start seed.
+            if chained_vals:
+                metrics["utility chained"] = float(
+                    sum(chained_vals) / len(chained_vals)
                 )
-                vals = []
-                for (it, p), (rob, _) in zip(paired, chained):
-                    p["utility_chained"] = rob
-                    if isinstance(rob, float):
-                        vals.append(rob)
-                if vals:
-                    metrics["utility chained"] = float(sum(vals) / len(vals))
             if time_mres:
                 metrics["simulation time mre"] = float(
                     sum(time_mres) / len(time_mres)

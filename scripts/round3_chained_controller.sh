@@ -27,8 +27,11 @@ for root in runs/mid runs/real; do
   python scripts/real_run.py aggregate --root "$root" \
     || echo "AGGREGATE FAILED: $root"
   # archive the identity-pool ("timid") controller's chained table before
-  # the re-sweep overwrites its full_pipeline predictions
-  if [ -f "$root/eval/results/utility_gain_chained.md" ]; then
+  # the re-sweep overwrites its full_pipeline predictions — ONCE: a
+  # resume after the retrain must not clobber the archived provenance
+  # record with post-retrain data
+  if [ -f "$root/eval/results/utility_gain_chained.md" ] \
+      && [ ! -f "$root/eval/results/utility_gain_chained_r3b.md" ]; then
     cp "$root/eval/results/utility_gain_chained.md" \
        "$root/eval/results/utility_gain_chained_r3b.md"
   fi
@@ -54,14 +57,23 @@ wc -l datasets/dpo/pairs_r3c.jsonl
 echo "=== [3/5] retrain controllers on chained pairs ==="
 for spec in "runs/real BASE" "runs/mid MID"; do
   set -- $spec; root=$1; preset=$2
-  if [ -d "$root/controller_r3b" ]; then
+  # completion sentinel, written only after a clean dpo exit: keying the
+  # skip on controller_r3b existing would wedge permanently after a
+  # failed retrain (old controller moved aside, new one never trained)
+  if [ -f "$root/controller/.r3c_done" ]; then
     echo "$root controller already retrained, skipping"
     continue
   fi
   cp datasets/dpo/pairs_r3c.jsonl "$root/dpo_pairs.jsonl"
-  [ -d "$root/controller" ] && mv "$root/controller" "$root/controller_r3b"
-  python scripts/real_run.py dpo --root "$root" --preset "$preset" \
-    --dpo-steps 2000 || echo "DPO TRAIN FAILED: $root"
+  if [ -d "$root/controller" ] && [ ! -d "$root/controller_r3b" ]; then
+    mv "$root/controller" "$root/controller_r3b"
+  fi
+  if python scripts/real_run.py dpo --root "$root" --preset "$preset" \
+      --dpo-steps 2000; then
+    touch "$root/controller/.r3c_done"
+  else
+    echo "DPO TRAIN FAILED: $root (re-run resumes/retries)"
+  fi
 done
 
 echo "=== [4/5] re-sweep full_pipeline with chained controllers ==="

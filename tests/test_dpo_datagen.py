@@ -80,3 +80,19 @@ def test_chained_scoring_produces_schema_rows():
     for row in rows:
         assert set(row) == REFERENCE_DPO_KEYS
         assert row["w_utility"] > row["l_utility"]
+
+
+def test_select_preference_branches():
+    """Identity-anchored emission logic, deterministically (candidate 0 is
+    the identity): intervene-pair, abstain-pair, and no-pair branches."""
+    from pdec.pipeline.dpo_datagen import select_preference
+
+    # a subgoal clearly beats identity -> (subgoal, identity)
+    assert select_preference([1.0, 3.0, 0.5]) == (1, 0)
+    # nothing beats identity, but a rewrite clearly hurts -> (identity, worst)
+    assert select_preference([1.0, 0.98, -2.0]) == (0, 2)
+    # everything inside the noise floor -> no pair
+    assert select_preference([1.0, 1.01, 0.99]) is None
+    # best beats identity but only within the floor -> falls through to
+    # the abstain check, which also fails -> no pair
+    assert select_preference([1.0, 1.05, 0.96]) is None
