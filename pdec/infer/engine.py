@@ -66,6 +66,43 @@ def _sample(logits, key, temperature, top_p):
     return sampled, jax.nn.log_softmax(logits, axis=-1)
 
 
+def prepare_prompt_batch(tokenizer, prompts, gen, row_mult: int,
+                         max_len: int):
+    """Shared prompt-batch scaffold for the batched engines.
+
+    Encodes, truncates to the padded prompt bucket (keeping each row's
+    TAIL, ``e[-t_pad:]``), right-pads into [bsz, t_pad] id/valid arrays
+    with ``bsz`` rounded up to ``row_mult`` (padding rows get one valid
+    slot), and buckets the total sequence length.  Both `ShardedEngine`
+    and `SpeculativeEngine` call this — their greedy-equivalence
+    guarantee depends on the prompt-side conventions staying identical.
+
+    Returns (tokens, valid, clipped, total_len, bsz).
+    """
+    import numpy as _np
+
+    encoded = [tokenizer.encode(p) for p in prompts]
+    n = len(encoded)
+    bsz = ((max(n, 1) + row_mult - 1) // row_mult) * row_mult
+    max_prompt = max(len(e) for e in encoded)
+    t_pad = min(_len_bucket(max_prompt), max_len)
+    total_len = min(
+        _len_bucket(t_pad + gen.max_new_tokens),
+        max_len + gen.max_new_tokens,
+    )
+    tokens = _np.zeros((bsz, t_pad), _np.int32)
+    valid = _np.zeros((bsz, t_pad), bool)
+    clipped = []
+    for i, e in enumerate(encoded):
+        e = e[-t_pad:]
+        clipped.append(e)
+        tokens[i, : len(e)] = e
+        valid[i, : len(e)] = True
+    for i in range(n, bsz):
+        valid[i, :1] = True
+    return tokens, valid, clipped, total_len, bsz
+
+
 def finalize_generation(tokenizer, ids, lps, eos_id,
                         gen: GenerationConfig) -> Generation:
     """Trim at eos/stop and truncate logprobs to the kept tokens.

@@ -344,25 +344,13 @@ class SpeculativeEngine:
             return out
         tok = self.tokenizer
         eos_id = tok.eos_token_id
-        encoded = [tok.encode(p) for p in prompts]
-        n = len(encoded)
+        n = len(prompts)
         mult = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
-        bsz = ((max(n, 1) + mult - 1) // mult) * mult
-        max_prompt = max(len(e) for e in encoded)
-        t_pad = min(_len_bucket(max_prompt), self.max_len)
-        total_len = min(
-            _len_bucket(t_pad + gen.max_new_tokens),
-            self.max_len + gen.max_new_tokens,
-        )
+        from pdec.infer.engine import prepare_prompt_batch
 
-        tokens = np.zeros((bsz, t_pad), np.int32)
-        valid = np.zeros((bsz, t_pad), bool)
-        for i, e in enumerate(encoded):
-            e = e[-t_pad:]
-            tokens[i, : len(e)] = e
-            valid[i, : len(e)] = True
-        for i in range(n, bsz):
-            valid[i, :1] = True
+        tokens, valid, _clipped, total_len, bsz = prepare_prompt_batch(
+            tok, prompts, gen, mult, self.max_len
+        )
 
         from pdec.cpp.tokenizer import StreamDecoder
 
