@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pdec.infer.engine import Generation, GenerationConfig, _len_bucket, _sample
+from pdec.infer.engine import Generation, GenerationConfig, _sample
 from pdec.models.config import ModelConfig
 from pdec.models.transformer import forward, init_kv_cache
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from pdec.infer.engine import Generation, GenerationConfig, _len_bucket
+from pdec.infer.engine import Generation, GenerationConfig
 from pdec.infer.sharded import batch_rows_sharding, cache_shardings
 from pdec.models.config import ModelConfig
 from pdec.models.transformer import forward, init_kv_cache
