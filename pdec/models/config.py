@@ -79,6 +79,21 @@ MID = ModelConfig(
     max_seq=1024,
 )
 
+# Draft model for speculative decoding (pdec.infer.speculative): ~8M
+# params at vocab 8192 — ~60x cheaper per token than MID, big enough to
+# track the corpus's highly templated text for useful acceptance rates.
+# Trained with the TARGET family's tokenizer (the vocab_size here is
+# replaced by the tokenizer's at train/load time, like every preset).
+DRAFT = ModelConfig(
+    vocab_size=8192,
+    d_model=256,
+    n_layers=4,
+    n_heads=4,
+    n_kv_heads=4,
+    d_ff=704,
+    max_seq=1024,
+)
+
 # Minimal config for unit tests.
 TINY = ModelConfig(
     vocab_size=256,

@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 
 if [ ! -d runs/mid/draft ]; then
   python scripts/real_run.py train --root runs/mid --role draft \
-    --role-preset draft=TINY --steps 1500 \
+    --role-preset draft=DRAFT --steps 1500 \
     || echo "DRAFT TRAIN FAILED"
 fi
 
@@ -25,7 +25,7 @@ for mode in spec plain; do
         "$(pwd)"/runs/mid/coder "$(pwd)"/runs/mid/controller \
         "$(pwd)"/runs/mid/draft "$out"/ 2>/dev/null || true
   extra=""
-  [ "$mode" = spec ] && extra="--speculative --role-preset draft=TINY"
+  [ "$mode" = spec ] && extra="--speculative --role-preset draft=DRAFT"
   echo "=== $mode ==="
   /usr/bin/time -v python scripts/real_run.py eval --root "$out" \
     --preset MID $extra --repeats 1 --eval-max 128 \
