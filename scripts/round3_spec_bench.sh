@@ -12,8 +12,13 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-if [ ! -d runs/mid/draft ]; then
-  python scripts/real_run.py train --root runs/mid --role draft \
+# family root + preset are parameters so the bench runs against whichever
+# family has live checkpoints on this VM (checkpoints are not in git)
+ROOT="${1:-runs/mid}"
+PRESET="${2:-MID}"
+
+if [ ! -d "$ROOT/draft" ] || [ -z "$(ls "$ROOT"/draft/checkpoint-* 2>/dev/null)" ]; then
+  python scripts/real_run.py train --root "$ROOT" --role draft \
     --role-preset draft=DRAFT --steps 1500 \
     || echo "DRAFT TRAIN FAILED"
 fi
@@ -21,14 +26,14 @@ fi
 for mode in spec plain; do
   out="/tmp/specbench_$mode"
   rm -rf "$out"; mkdir -p "$out"
-  ln -s "$(pwd)"/runs/mid/tokenizer.json "$(pwd)"/runs/mid/translator \
-        "$(pwd)"/runs/mid/coder "$(pwd)"/runs/mid/controller \
-        "$(pwd)"/runs/mid/draft "$out"/ 2>/dev/null || true
+  ln -s "$(pwd)/$ROOT"/tokenizer.json "$(pwd)/$ROOT"/translator \
+        "$(pwd)/$ROOT"/coder "$(pwd)/$ROOT"/controller \
+        "$(pwd)/$ROOT"/draft "$out"/ 2>/dev/null || true
   extra=""
   [ "$mode" = spec ] && extra="--speculative --role-preset draft=DRAFT"
   echo "=== $mode ==="
   /usr/bin/time -v python scripts/real_run.py eval --root "$out" \
-    --preset MID $extra --repeats 1 --eval-max 128 \
+    --preset "$PRESET" $extra --repeats 1 --eval-max 128 \
     --methods to_python_two_step --datasets heat_nc1_512 2>&1 \
     | grep -E "done \| elapsed|Elapsed"
 done
