@@ -66,6 +66,15 @@ def main(argv=None):
     p.add_argument("--micro-batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--save-interval", type=int, default=500)
+    p.add_argument("--backup-interval", type=int, default=100,
+                   help="rotating crash-recovery checkpoint cadence; at "
+                        "0.47B params each backup writes ~5.6 GB of f32 "
+                        "state, so raise it for large presets")
+    p.add_argument("--steps-per-dispatch", type=int, default=8,
+                   help="lax.scan'd train steps per device dispatch; "
+                        "amortizes the per-dispatch host round trip "
+                        "(~0.2 s through a device tunnel) without changing "
+                        "per-step metrics or checkpoint cadence")
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=256.0)
     p.add_argument("--full-finetune", action="store_true")
@@ -289,7 +298,9 @@ def main(argv=None):
         train_loop(
             step_fn, state, batches,
             LoopConfig(total_steps=args.steps,
-                       save_interval=args.save_interval),
+                       save_interval=args.save_interval,
+                       backup_interval=args.backup_interval,
+                       steps_per_dispatch=args.steps_per_dispatch),
             ckpt=ckpt, start_step=start,
             metric_sink=sink,
             lr_schedule=cosine_schedule(train_cfg),

@@ -28,6 +28,11 @@ class LoopConfig:
     save_interval: int = 500  # persistent checkpoint + validation cadence
     backup_interval: int = 100  # rotating crash-recovery checkpoints
     log_every: int = 10
+    # steps executed per device dispatch (lax.scan over stacked batches).
+    # Through a remote-device tunnel every dispatch + metric fetch is a
+    # host round trip (~0.2 s); scanning K steps per call amortizes it K×
+    # while per-step metrics stay exact (the scan stacks them).
+    steps_per_dispatch: int = 1
 
 
 def train_loop(
@@ -52,6 +57,11 @@ def train_loop(
     logger = get_logger("pdec.train")
     eta = ETALogger(loop_cfg.total_steps, logger, loop_cfg.log_every)
     step = start_step
+    if loop_cfg.steps_per_dispatch > 1:
+        return _train_loop_chunked(
+            step_fn, state, batches, loop_cfg, ckpt, validate_fn,
+            start_step, metric_sink, lr_schedule, logger, eta,
+        )
     jit_step = jax.jit(step_fn)
 
     for batch in batches:
@@ -90,6 +100,110 @@ def train_loop(
                         {f"validation_{k}": v for k, v in val_metrics.items()
                          if isinstance(v, (int, float))},
                     )
+    return state, step
+
+
+def _train_loop_chunked(
+    step_fn, state, batches, loop_cfg, ckpt, validate_fn,
+    start_step, metric_sink, lr_schedule, logger, eta,
+):
+    """K-steps-per-dispatch variant of ``train_loop``.
+
+    A single jitted call scans ``step_fn`` over a stacked chunk of batches
+    and returns per-step metrics stacked on the leading axis, so the host
+    pays one dispatch + one metric fetch per K steps instead of per step.
+    Chunks never cross a checkpoint/validation boundary, so save cadence is
+    identical to the per-step loop.  The carry (params/lora/opt_state) is
+    donated: the old buffers are reused in place, which matters at the
+    0.47B-params-in-f32 scale on a 16 GB chip.  The previous chunk's
+    metrics are fetched *after* the next chunk is dispatched, overlapping
+    host I/O with device compute (async dispatch pipeline).
+    """
+    import functools
+
+    def chunk_body(carry, batch):
+        params, lora, opt_state = carry
+        params, lora, opt_state, metrics = step_fn(
+            params, lora, opt_state, batch
+        )
+        return (params, lora, opt_state), metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def jit_chunk(carry, stacked):
+        return jax.lax.scan(chunk_body, carry, stacked)
+
+    def boundary_after(step):
+        """Next step at which a checkpoint/validation action fires."""
+        nxt = loop_cfg.total_steps
+        for interval in (loop_cfg.backup_interval, loop_cfg.save_interval):
+            if interval and interval > 0:
+                nxt = min(nxt, (step // interval + 1) * interval)
+        return nxt
+
+    def flush(first_step, stacked_metrics):
+        host = jax.device_get(stacked_metrics)
+        n = len(next(iter(host.values()))) if host else 0
+        for i in range(n):
+            s = first_step + i + 1
+            rec = {k: float(v[i]) for k, v in host.items()}
+            if lr_schedule is not None:
+                rec["lr"] = float(lr_schedule(s - 1))
+            eta.log(s, rec)
+            if metric_sink is not None:
+                metric_sink(s, rec)
+
+    step = start_step
+    carry = (state.get("params"), state.get("lora"), state.get("opt_state"))
+    pending = None
+    it = iter(batches)
+    while step < loop_cfg.total_steps:
+        take = min(loop_cfg.steps_per_dispatch, boundary_after(step) - step)
+        chunk = []
+        for _ in range(take):
+            try:
+                chunk.append(next(it))
+            except StopIteration:
+                break
+        if not chunk:
+            break
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *chunk)
+        carry, metrics = jit_chunk(carry, stacked)
+        if pending is not None:
+            flush(*pending)  # blocks on the PREVIOUS chunk only
+        pending = (step, metrics)
+        step += len(chunk)
+        state["params"], state["lora"], state["opt_state"] = carry
+
+        at_backup = (loop_cfg.backup_interval
+                     and step % loop_cfg.backup_interval == 0)
+        at_save = step % loop_cfg.save_interval == 0
+        if at_backup or at_save:
+            # reading the carry synchronizes; do it before the next
+            # dispatch so donation never invalidates a buffer mid-read
+            if pending is not None:
+                flush(*pending)
+                pending = None
+        if ckpt is not None and at_backup:
+            ckpt.save_backup(step, _saveable(state))
+        if at_save:
+            if ckpt is not None:
+                ckpt.save_step(step, _saveable(state))
+            if validate_fn is not None:
+                t0 = time.time()
+                val_metrics = validate_fn(dict(state), step)
+                logger.info(
+                    "validation @ %d: %s (%.1fs)", step, val_metrics,
+                    time.time() - t0,
+                )
+                if metric_sink is not None:
+                    metric_sink(
+                        step,
+                        {f"validation_{k}": v
+                         for k, v in val_metrics.items()
+                         if isinstance(v, (int, float))},
+                    )
+    if pending is not None:
+        flush(*pending)
     return state, step
 
 

@@ -134,3 +134,47 @@ def test_sharded_lora_dpo_on_mesh():
             params, policy, None, opt_state, batch
         )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_chunked_dispatch_matches_per_step(tmp_path):
+    """steps_per_dispatch>1 (lax.scan'd chunks, donated carry) must produce
+    the same training trajectory and the same per-step metric records as
+    the per-step loop (pdec.train.loop._train_loop_chunked)."""
+    from pdec.train.loop import LoopConfig, train_loop
+
+    def run(steps_per_dispatch):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        init_fn, step_fn = make_sft_step(CFG, TCFG, train_lora=False)
+        state = {"params": params, "lora": None,
+                 "opt_state": init_fn(params, None)}
+        rng = np.random.default_rng(0)
+
+        def batches():
+            while True:
+                tokens = rng.integers(
+                    0, CFG.vocab_size, (2, 2, 32), dtype=np.int32
+                )
+                yield {"input_ids": tokens, "labels": tokens}
+
+        records = []
+        state, step = train_loop(
+            step_fn, state, batches(),
+            LoopConfig(total_steps=7, save_interval=100,
+                       backup_interval=5, log_every=100,
+                       steps_per_dispatch=steps_per_dispatch),
+            metric_sink=lambda s, m: records.append((s, m["loss"])),
+        )
+        assert step == 7
+        return state, records
+
+    ref_state, ref_records = run(1)
+    chk_state, chk_records = run(3)  # chunks: 3, 2 (backup@5), 2
+
+    assert [s for s, _ in chk_records] == [s for s, _ in ref_records]
+    for (_, a), (_, b) in zip(ref_records, chk_records):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state["params"]),
+                    jax.tree.leaves(chk_state["params"])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
