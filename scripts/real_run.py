@@ -96,6 +96,7 @@ def stage_train(args, roles=None):
             "--micro-batch", str(args.micro_batch),
             "--steps", str(args.steps),
             "--save-interval", str(max(args.steps // 3, 1)),
+            "--backup-interval", str(args.backup_interval),
             "--full-finetune",
             f"train.learning_rate={args.lr}",
             f"train.grad_accum={args.grad_accum}",
@@ -156,6 +157,7 @@ def stage_dpo(args):
         "--micro-batch", str(max(args.micro_batch // 8, 1)),
         "--steps", str(args.dpo_steps),
         "--save-interval", str(max(args.dpo_steps // 3, 1)),
+        "--backup-interval", str(args.backup_interval),
         "--lora-rank", "32", "--lora-alpha", "64",
         f"train.learning_rate={args.lr / 10}",
         "train.grad_accum=8",
@@ -345,6 +347,9 @@ def main(argv=None):
     p.add_argument("--dpo-n", type=int, default=1536,
                    help="DPO datagen problems (4 candidates each)")
     p.add_argument("--dpo-steps", type=int, default=600)
+    p.add_argument("--backup-interval", type=int, default=100,
+                   help="crash-recovery checkpoint cadence; raise for "
+                        "large presets (a 0.47B f32 backup is ~5.6 GB)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--micro-batch", type=int, default=8)
     p.add_argument("--grad-accum", type=int, default=4)
