@@ -305,17 +305,42 @@ class EvalDriver:
                 "controller", [bank_ctl.format_prompt(nl=n) for n in nls], seed
             )
             inter_sstls = [extract_sstl_answer(g.text) for g in gens_ctl]
+            fallbacks = [False] * len(nls)
+            if eval_method == "full_pipeline":
+                # reference 3-model shape (run_testing.sh:11-17): the
+                # translator's spec anchors a serve-time envelope gate —
+                # subgoals outside the controller's training-move support
+                # (pdec.stl.guard) fall back to the translated spec
+                from pdec.stl.guard import gate_subgoal
+
+                bank_t = self._bank("nl_to_sstl", shots)
+                gens_t = self._generate(
+                    "translator",
+                    [bank_t.format_prompt(nl=n) for n in nls], seed,
+                )
+                base_sstls = [extract_sstl_answer(g.text) for g in gens_t]
+                gated = [
+                    gate_subgoal(b, c)
+                    for b, c in zip(base_sstls, inter_sstls)
+                ]
+                use_sstls = [g[0] for g in gated]
+                fallbacks = [g[1] for g in gated]
+            else:
+                use_sstls = inter_sstls
             bank_c = self._bank("dpo_test_sstl_to_python", shots, dpo=True)
             gens = self._generate(
                 "coder",
                 [
                     bank_c.format_prompt(nl=n, sstl=s)
-                    for n, s in zip(nls, inter_sstls)
+                    for n, s in zip(nls, use_sstls)
                 ],
                 seed,
             )
-            for p, g, s in zip(preds, gens, inter_sstls):
-                p["predicted_intermediate_sstl"] = s
+            for p, g, s, raw, fb in zip(
+                preds, gens, use_sstls, inter_sstls, fallbacks
+            ):
+                p["predicted_intermediate_sstl"] = raw
+                p["gate_fallback"] = fb
                 p["predicted_intermediate_python"] = extract_python_answer(g.text)
                 p["predicted_python"] = p["predicted_intermediate_python"]
                 p["predicted_sstl"] = s
