@@ -223,6 +223,14 @@ class EvalDriver:
         )
         metrics["temperature"] = self.temperature
         metrics["n_repeat_sampling"] = self.n_repeat_sampling
+        # serving-engine provenance: speculative vs plain decode must be
+        # attributable per combo (speculative sampling is distribution-
+        # exact, but a mixed sweep should still be auditable)
+        engine_kinds = {
+            type(e).__name__ for e in self.engines.values()
+        }
+        if engine_kinds:
+            metrics["serving"] = "+".join(sorted(engine_kinds))
         result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
         if run_dir is not None:
             os.makedirs(run_dir, exist_ok=True)

@@ -23,30 +23,40 @@ for role in translator coder; do
   fi
 done
 
-echo "=== [3/5] controller DPO on the committed identity-pool pairs ==="
+echo "=== [3/6] controller DPO on the committed identity-pool pairs ==="
 if [ -z "$(ls runs/mid/controller/checkpoint-step-1998 2>/dev/null)" ]; then
   cp datasets/dpo/pairs_r3b.jsonl runs/mid/dpo_pairs.jsonl
   python scripts/real_run.py dpo --root runs/mid --preset MID \
     --dpo-steps 2000 --backup-interval 500
 fi
 
-echo "=== [4/5] utility-gain pair sweep (headline comparison) ==="
-for m in to_python_two_step full_pipeline; do
-  python scripts/real_run.py eval --root runs/mid --preset MID \
-    --repeats 3 --eval-max 512 --methods "$m" \
-    || echo "SWEEP FAILED: $m"
-  python scripts/real_run.py aggregate --root runs/mid \
-    || echo "AGGREGATE FAILED"
-done
+echo "=== [4/6] DRAFT model for speculative serving (7.4M, minutes) ==="
+if [ -z "$(ls runs/mid/draft/checkpoint-* 2>/dev/null)" ]; then
+  python scripts/real_run.py train --root runs/mid --role draft \
+    --role-preset draft=DRAFT --steps 1500 || echo "DRAFT TRAIN FAILED"
+fi
 
-echo "=== [5/5] remaining methods, cost order ==="
-for m in to_STL to_python_no_STL to_python_direct_with_sstl_cot \
-         reasoning_only; do
+# MID decode dominates the sweep cost (0.47B vs the 57M BASE); serve
+# speculatively (exact target distribution — Leviathan acceptance), and
+# fall back to plain decode per method if the speculative pass fails.
+# The per-combo metrics cache makes the fallback resume, not redo.
+sweep() {
+  local m="$1"
   python scripts/real_run.py eval --root runs/mid --preset MID \
     --repeats 3 --eval-max 512 --methods "$m" \
+    --speculative --role-preset draft=DRAFT \
+    || python scripts/real_run.py eval --root runs/mid --preset MID \
+         --repeats 3 --eval-max 512 --methods "$m" \
     || echo "SWEEP FAILED: $m"
   python scripts/real_run.py aggregate --root runs/mid \
     || echo "AGGREGATE FAILED"
-done
+}
+
+echo "=== [5/6] utility-gain pair sweep (headline comparison) ==="
+for m in to_python_two_step full_pipeline; do sweep "$m"; done
+
+echo "=== [6/6] remaining methods, cost order ==="
+for m in to_STL to_python_no_STL to_python_direct_with_sstl_cot \
+         reasoning_only; do sweep "$m"; done
 
 echo "=== round3_rebuild_mid.sh DONE ==="
