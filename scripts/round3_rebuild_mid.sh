@@ -10,7 +10,13 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== [1/5] MID corpus (deterministic regen, seed 0) ==="
+echo "=== [0/6] speculative-decoding chip measurement (BASE family) ==="
+# ~10 min; validates speculative serving on-chip before the MID sweep
+# leans on it (the image lacks /usr/bin/time, so the first attempt in
+# round3_rebuild.sh stage 5 recorded nothing)
+bash scripts/round3_spec_bench.sh runs/real BASE || echo "SPEC BENCH FAILED"
+
+echo "=== [1/6] MID corpus (deterministic regen, seed 0) ==="
 if [ ! -f runs/mid/corpus/corpus.jsonl ]; then
   python scripts/real_run.py corpus --root runs/mid --corpus-n 131072
 fi

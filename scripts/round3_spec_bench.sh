@@ -32,9 +32,11 @@ for mode in spec plain; do
   extra=""
   [ "$mode" = spec ] && extra="--speculative --role-preset draft=DRAFT"
   echo "=== $mode ==="
-  /usr/bin/time -v python scripts/real_run.py eval --root "$out" \
+  t0=$(date +%s)
+  python scripts/real_run.py eval --root "$out" \
     --preset "$PRESET" $extra --repeats 1 --eval-max 128 \
     --methods to_python_two_step --datasets heat_nc1_512 2>&1 \
-    | grep -E "done \| elapsed|Elapsed"
+    | grep -E "done \| elapsed" || echo "$mode RUN FAILED"
+  echo "$mode wall: $(( $(date +%s) - t0 ))s"
 done
 echo "=== round3_spec_bench.sh DONE ==="
