@@ -89,10 +89,14 @@ _wait_for_device()
 # multiple (pdec.data.generator ranges)
 FAMILY_STEPS = {"heat": 320, "wave": 896}
 
-# max problems per synthesis dispatch PER CHIP: HLO temps scale with
-# lanes (= problems x n_starts) x horizon; wave at 1024 problems wants
-# 23 GB HBM (> the 16 GB v5e chip), 256 fits in ~6 GB
-from pdec.control.synthesis import FAMILY_DISPATCH
+# max problems per synthesis dispatch PER CHIP.  Both families use
+# 256-problem dispatches: wave at 1024 problems wants 23 GB HBM (> the
+# 16 GB v5e chip), and the 1024-problem heat executable costs >40 min of
+# XLA compile through the device tunnel (measured round 3) for, at best,
+# a modest utilization gain — a benchmark that can spend its whole budget
+# compiling is not a benchmark.  The 256-problem graphs compile in ~2 min
+# and persist in .jax_cache.
+FAMILY_DISPATCH = {"heat": 256, "wave": 256}
 
 
 def build_batch(kind: str, n_problems: int, seed: int = 0):
@@ -204,6 +208,11 @@ def main():
                 "value": round(solves_per_sec, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(vs_baseline, 4),
+                # per-family rates: wave's 896-step second-order horizon
+                # is ~2.6x heat's cost per solve, so the combined 50/50
+                # number is not comparable to a heat-only figure
+                "heat_solves_per_sec": round(stats["heat"]["solves_per_sec"], 2),
+                "wave_solves_per_sec": round(stats["wave"]["solves_per_sec"], 2),
             }
         )
     )
