@@ -38,9 +38,15 @@ from pdec.stl.semantics import robustness, smooth_robustness
 
 # Per-family synthesis dispatch caps (problem lanes per jitted dispatch).
 # Lane parallelism is problems x n_starts x per-iteration AD temps; wave's
-# second-order state + ~3x longer horizons triple heat's HBM footprint, so
-# it gets a smaller lane budget (measured to fit a single v5e chip's HBM).
-FAMILY_DISPATCH = {"heat": 1024, "wave": 256}
+# second-order state + ~3x longer horizons triple heat's HBM footprint
+# (1024 wave problems want 23 GB > the 16 GB chip).  Heat fits 1024 lanes,
+# but its 1024-problem executable costs >40 min of XLA compile through the
+# device tunnel EVERY time the synthesis graph changes (measured round 3,
+# two timed-out benchmark budgets), versus ~2 min at 256 — and the
+# throughput gain from 4x wider dispatches is modest (~1.3-2x at best).
+# 256 everywhere keeps every robustness-scoring stage (eval sweep, GT
+# labeling, DPO datagen, bench) inside a predictable compile budget.
+FAMILY_DISPATCH = {"heat": 256, "wave": 256}
 
 # Canonical horizon bucket per family: the generator's max horizon, so every
 # same-family batch shares ONE compiled synthesis executable instead of one
