@@ -178,6 +178,22 @@ def controller_utility_gain(
         n = len(gains)
         b_mean = sum(b_vals) / n
         mean_gain = sum(gains) / n
+        # Robustness is heavy-tailed: a generated program that badly
+        # violates the spec can score -100..-300 while typical utilities
+        # are O(10), so a handful of catastrophic generations (temp-0.2
+        # sampling variance, either arm) dominate the raw mean.  Report
+        # the raw mean as primary (honest), plus a catastrophe-excluded
+        # mean + median so guidance quality is separable from tail events
+        # (the reference likewise reports failure *rates* next to MRE,
+        # read_result.py:137-153, rather than folding them into means).
+        _CAT = -90.0
+        clean = [g for g, tv, bv in zip(gains, t_vals, b_vals)
+                 if tv > _CAT and bv > _CAT]
+        clean_b = [bv for tv, bv in zip(t_vals, b_vals)
+                   if tv > _CAT and bv > _CAT]
+        clean_mean = sum(clean) / len(clean) if clean else 0.0
+        clean_b_mean = sum(clean_b) / len(clean_b) if clean_b else 0.0
+        med = sorted(gains)[n // 2]
         out[f"{m.group('dataset')}|shots={m.group('shots')}"] = {
             "mean_gain": mean_gain,
             "rel_gain_pct": 100.0 * mean_gain / max(abs(b_mean), 1e-9),
@@ -186,6 +202,14 @@ def controller_utility_gain(
             "treatment_mean": sum(t_vals) / n,
             "baseline_mean": b_mean,
             "n_pairs": n,
+            "median_gain": med,
+            "clean_mean_gain": clean_mean,
+            "clean_rel_gain_pct": (
+                100.0 * clean_mean / max(abs(clean_b_mean), 1e-9)),
+            "catastrophic_rate_treatment": sum(
+                1 for v in t_vals if v <= _CAT) / n,
+            "catastrophic_rate_baseline": sum(
+                1 for v in b_vals if v <= _CAT) / n,
         }
     return out
 
@@ -209,15 +233,27 @@ def format_utility_gain_table(gains: Dict[str, Dict],
         f"{flavor}\n"
         "(the DPO reward signal; paper claim: up to 62% utility gain,\n"
         "reference README.md:34). Pairs matched per example x repeat.\n\n"
+        "Robustness utilities are heavy-tailed (catastrophic violations\n"
+        "score -100..-300 vs typical O(10)); 'clean gain' excludes pairs\n"
+        "where either arm scored <= -90 (rate per arm in 'cat%'), so the\n"
+        "controller's guidance value is separable from sampling-variance\n"
+        "tail events. Failure/timeout RATES stay separate metrics, as in\n"
+        "the reference (read_result.py:137-153).\n\n"
         "| dataset | mean utility (ctl) | mean utility (base) | mean gain "
-        "| rel gain % | win rate | tie rate | n |\n"
-        "|---|---|---|---|---|---|---|---|\n"
+        "| rel gain % | clean gain | clean rel % | median gain "
+        "| cat% ctl/base | win rate | tie rate | n |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     )
     for key in sorted(gains):
         g = gains[key]
         text += (
             f"| {key} | {g['treatment_mean']:.4f} | {g['baseline_mean']:.4f} "
             f"| {g['mean_gain']:.4f} | {g['rel_gain_pct']:+.1f}% "
+            f"| {g.get('clean_mean_gain', g['mean_gain']):.4f} "
+            f"| {g.get('clean_rel_gain_pct', g['rel_gain_pct']):+.1f}% "
+            f"| {g.get('median_gain', 0.0):.4f} "
+            f"| {100 * g.get('catastrophic_rate_treatment', 0.0):.1f}/"
+            f"{100 * g.get('catastrophic_rate_baseline', 0.0):.1f} "
             f"| {g['win_rate']:.3f} | {g.get('tie_rate', 0.0):.3f} "
             f"| {g['n_pairs']} |\n"
         )

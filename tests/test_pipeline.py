@@ -230,6 +230,44 @@ def test_utility_gain_report(tmp_path):
     assert "heat_nc1|shots=0" in text and "win rate" in text
 
 
+def test_utility_gain_tail_decomposition(tmp_path):
+    """Catastrophic robustness values (<= -90: spec badly violated, a
+    heavy-tail sampling event) must be separable from guidance quality:
+    clean_mean_gain excludes pairs where either arm is catastrophic and
+    the per-arm catastrophic rates are reported, mirroring the
+    reference's failure-rates-next-to-MRE reporting
+    (read_result.py:137-153)."""
+    from pdec.pipeline.aggregate import (
+        controller_utility_gain, format_utility_gain_table,
+    )
+
+    base = tmp_path / "wave_nc3_shots=2_seed=0"
+    for method, robs in (
+        ("full_pipeline", [1.0, 2.0, -293.0, 4.0]),
+        ("to_python_two_step", [0.5, 2.5, 3.0, -150.0]),
+    ):
+        d = base / method
+        d.mkdir(parents=True)
+        with open(d / "predictions.jsonl", "w") as f:
+            for i, r in enumerate(robs):
+                f.write(json.dumps(
+                    {"nl": f"p{i}", "repeat_id": 0, "robustness": r}
+                ) + "\n")
+    gains = controller_utility_gain(str(tmp_path))
+    g = gains["wave_nc3|shots=2"]
+    assert g["n_pairs"] == 4
+    # raw mean includes the two catastrophic pairs (-296, +154)
+    assert g["mean_gain"] == pytest.approx(
+        ((0.5) + (-0.5) + (-296.0) + (154.0)) / 4)
+    # clean mean sees only the two non-catastrophic pairs
+    assert g["clean_mean_gain"] == pytest.approx((0.5 - 0.5) / 2)
+    assert g["catastrophic_rate_treatment"] == pytest.approx(0.25)
+    assert g["catastrophic_rate_baseline"] == pytest.approx(0.25)
+    assert g["median_gain"] == pytest.approx(0.5)  # upper median of n=4
+    text = format_utility_gain_table(gains)
+    assert "clean gain" in text and "cat% ctl/base" in text
+
+
 def test_utility_gain_chained_metric_key(tmp_path):
     """metric_key="utility_chained" reads the chained-utility field; the
     chained table header names the chained definition."""
