@@ -180,14 +180,14 @@ def main():
     from pdec.control.synthesis import SynthesisConfig
 
     n_problems = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    config = SynthesisConfig()  # the SHIPPED defaults (pinned by
-    # tests/test_optimality.py::test_defaults_within_tolerance)
 
     n_chips = max(jax.device_count(), 1)
     per_family = max(n_problems // 2 // max(n_chips, 1) * n_chips, n_chips)
 
     stats = {}
     for kind in ("heat", "wave"):
+        # the SHIPPED per-family defaults (pinned by tests/test_optimality.py)
+        config = SynthesisConfig.for_family(kind)
         best, times, feasible = time_family(kind, per_family, config, n_chips)
         stats[kind] = {
             "n": per_family, "best_s": best, "times": times,

@@ -29,14 +29,26 @@ def main(argv=None):
     p.add_argument("--no-chain", action="store_true",
                    help="score candidates with the plain (unchained) "
                         "utility instead of chained two-phase synthesis")
+    p.add_argument("--score-seeds", type=int, default=1,
+                   help="independent synthesis seeds averaged per utility "
+                        "label (cuts multi-start label noise ~sqrt(k))")
+    p.add_argument("--floor", type=float, default=0.05,
+                   help="preference noise floor as a fraction of |utility| "
+                        "(lower it when --score-seeds > 1)")
+    p.add_argument("--high", action="store_true",
+                   help="score with SynthesisConfig.high() (more starts + "
+                        "iterations: lower-variance, nearer-optimal labels)")
     args = p.parse_args(argv)
 
+    from pdec.control.synthesis import SynthesisConfig
     from pdec.data.generator import GeneratorConfig, sample_problem
     from pdec.pipeline.dpo_datagen import build_dpo_pairs
 
     rng = random.Random(args.seed)
     cfg = GeneratorConfig(kind=args.kind, n_clauses=args.nc)
     examples = [sample_problem(rng, cfg) for _ in range(args.n)]
+    synth = (SynthesisConfig.for_family(args.kind, base=SynthesisConfig.high())
+             if args.high else None)
 
     rows = []
     t0 = time.time()
@@ -45,8 +57,11 @@ def main(argv=None):
             build_dpo_pairs(
                 examples[i : i + args.batch],
                 n_candidates=args.candidates,
+                synthesis=synth,
                 seed=args.seed + i,
                 chain=not args.no_chain,
+                n_seeds=args.score_seeds,
+                floor_frac=args.floor,
             )
         )
         done = min(i + args.batch, len(examples))

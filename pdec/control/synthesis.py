@@ -32,7 +32,7 @@ from pdec.physics.rollout import (
     precompute_chunk_operators,
     rollout_trajectory_chunked,
 )
-from pdec.physics.spectral import spectral_trajectory_strided
+from pdec.physics.spectral import spectral_tables, spectral_trajectory_strided
 from pdec.stl.semantics import robustness, smooth_robustness
 
 
@@ -95,10 +95,39 @@ class SynthesisConfig(NamedTuple):
     # recomputed exactly (one direct rollout per start, at the end).
     # Pinned by the 1% grid-optimum harness like every other knob.
     incumbent_spectral: bool = True
+    # time stride of the incumbent SELECTION metric (spectral path only;
+    # 1 = every fine step).  Selection only needs to ORDER candidate
+    # controls; the returned robustness is always the exact full-grid
+    # direct-rollout value, so a coarser selection grid risks at most a
+    # near-tied incumbent choice — second-order in the final quality, and
+    # re-pinned by the per-family 1% grid-optimum harness.  Must divide
+    # ``chunk``.
+    sel_stride: int = 1
 
     @classmethod
     def high(cls):
         return cls(n_iters=60, n_starts=8, polish_iters=12)
+
+    @classmethod
+    def for_family(cls, kind: str,
+                   base: "SynthesisConfig | None" = None) -> "SynthesisConfig":
+        """Shipped per-family defaults (bench, eval sweep, GT labeling,
+        DPO datagen) — pinned by tests/test_optimality.py.  ``base``
+        composes: family stride overrides on top of e.g. ``high()``.
+
+        The families' fine time grids differ 20x (wave dt 2.5e-3 s vs heat
+        5e-2 s — the wave generator's dt is set by trapezoidal ACCURACY of
+        the second-order scheme, not by what STL window evaluation needs),
+        so the same stride buys very different sampling densities: wave at
+        eval_stride=8 still samples its horizon 3x more densely than heat
+        at the default 4.  These strides are the measured
+        bandwidth/quality knee per family — the robustness tensors
+        [T/stride, X, clauses] are the synthesis hot-loop's HBM-bandwidth
+        bound (see docs/PERF.md round-4 section)."""
+        b = base if base is not None else cls()
+        if kind == "wave":
+            return b._replace(eval_stride=8, sel_stride=2, polish_stride=4)
+        return b._replace(sel_stride=2)
 
 
 class SynthesisResult(NamedTuple):
@@ -154,7 +183,11 @@ def synthesize(
     subgoal optimum warm-starts the true objective — the gradient
     analogue of a Gurobi MIP start).
     The anytime incumbent guarantees the result is never worse than the
-    warm start's own hard robustness on THIS spec."""
+    warm start's own hard robustness on THIS spec — exactly when
+    ``incumbent_spectral=False``; with the spectral selection metric the
+    guarantee holds to the ~1e-3-relative spectral/direct trajectory
+    tolerance (a near-tied incumbent can edge out the warm start), while
+    the RETURNED robustness is always the exact direct-rollout value."""
     cfg = config
     if max_steps % cfg.chunk != 0:
         raise ValueError(f"max_steps {max_steps} not divisible by chunk {cfg.chunk}")
@@ -182,8 +215,28 @@ def synthesize(
     ts_strided = ts[::stride]
 
     use_spectral = system.spectral is not None
+    p_stride = max(int(cfg.polish_stride), 1)
+    s_stride = max(int(cfg.sel_stride), 1)
+    for name, s in (("eval_stride", stride), ("polish_stride", p_stride),
+                    ("sel_stride", s_stride)):
+        if cfg.chunk % s != 0:
+            raise ValueError(f"{name} {s} must divide chunk {cfg.chunk}")
 
-    def make_objective(s, ts_s):
+    # Control-independent spectral tables, computed ONCE per problem and
+    # closed over by every objective/incumbent evaluation below (the
+    # chunk kernel is shared across strides; only the small per-stride
+    # offset rows differ) — see pdec.physics.spectral.
+    if use_spectral:
+        tb_sel = spectral_tables(system.spectral, cfg.chunk, s_stride,
+                                 n_chunks)
+        tb_obj = spectral_tables(
+            system.spectral, cfg.chunk, stride, n_chunks, base=tb_sel)
+        tb_pol = spectral_tables(
+            system.spectral, cfg.chunk, p_stride, n_chunks, base=tb_sel)
+    else:
+        tb_sel = tb_obj = tb_pol = None
+
+    def make_objective(s, ts_s, tb):
         def objective(theta, tau):
             if use_spectral:
                 # closed-form eigenbasis rollout: parallel in time (see
@@ -191,7 +244,7 @@ def synthesize(
                 # latency bound that dominates the direct path
                 traj = spectral_trajectory_strided(
                     system.spectral, to_controls(theta), system.g0,
-                    system.n_out, cfg.chunk, s,
+                    system.n_out, cfg.chunk, s, tables=tb,
                 )
             else:
                 full = rollout_trajectory_chunked(
@@ -204,12 +257,11 @@ def synthesize(
             )
         return objective
 
-    objective = make_objective(stride, ts_strided)
+    objective = make_objective(stride, ts_strided, tb_obj)
     # Polish phase: a few iterations on a fine time grid at the final
     # temperature — the strided objective can miss the binding time step
     # (measurably so for '=' tracking specs; see tests/test_optimality.py).
-    p_stride = max(int(cfg.polish_stride), 1)
-    objective_full = make_objective(p_stride, ts[::p_stride])
+    objective_full = make_objective(p_stride, ts[::p_stride], tb_pol)
 
     # lr decays with the temperature: as tau sharpens, the gradient
     # concentrates on the binding constraint and large steps orbit the
@@ -238,12 +290,14 @@ def synthesize(
         # T-step sequential latency chains.  ~1e-3-relative trajectory
         # error only matters for near-ties; the winner is re-scored with
         # full_rho (exact) before anything is returned.
+        ts_sel = ts[::s_stride]
+
         def sel_rho(theta):
             traj = spectral_trajectory_strided(
                 system.spectral, to_controls(theta), system.g0,
-                system.n_out, cfg.chunk, 1,
+                system.n_out, cfg.chunk, s_stride, tables=tb_sel,
             )
-            return robustness(traj, ts, system.xs, clauses, program)
+            return robustness(traj, ts_sel, system.xs, clauses, program)
     else:
         sel_rho = full_rho
 

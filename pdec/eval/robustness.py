@@ -100,7 +100,7 @@ def _compiled(jitted, sig_extra, args, kwargs):
 def eval_robustness_batch(
     codes: Sequence[str],
     key: Optional[jax.Array] = None,
-    config: SynthesisConfig = SynthesisConfig(),
+    config: Optional[SynthesisConfig] = None,
     gt_formulas=None,
     bucket_granularity: int = 64,
     chain: bool = False,
@@ -160,11 +160,15 @@ def eval_robustness_batch(
         else:
             bucket_base = _round_up(max(n_steps, 1), bucket_granularity)
         bucket = _round_up(
-            bucket_base, config.chunk
+            bucket_base,
+            (config or SynthesisConfig()).chunk,
         )
         groups.setdefault((prog.kind, prog.n_elements, bucket), []).append(i)
 
     for (kind, n_el, bucket), idxs in groups.items():
+        # config=None -> the family's shipped defaults (per-family strides;
+        # SynthesisConfig.for_family); an explicit config is used verbatim
+        cfg = config if config is not None else SynthesisConfig.for_family(kind)
         # tight clause padding: the clause loop inside synthesis costs
         # proportionally to the padded slot count (corpus formulas have
         # <= 3 clauses; 4 slots cover them at half the default-8 cost)
@@ -249,8 +253,8 @@ def eval_robustness_batch(
             cl, pr = stack_specs(c_specs)
             synth_args = (stacked, jnp.asarray(cl), jnp.asarray(pr), key)
             synth_fn = _compiled(
-                _synthesize_jit, (bucket, config), synth_args,
-                dict(max_steps=bucket, config=config),
+                _synthesize_jit, (bucket, cfg), synth_args,
+                dict(max_steps=bucket, config=cfg),
             )
             t_start = time.perf_counter()
             res = synth_fn(*synth_args)
@@ -265,8 +269,8 @@ def eval_robustness_batch(
                     jax.random.fold_in(key, 1), res.knots,
                 )
                 warm_fn = _compiled(
-                    _synthesize_warm_jit, (bucket, config, "chain"),
-                    warm_args, dict(max_steps=bucket, config=config),
+                    _synthesize_warm_jit, (bucket, cfg, "chain"),
+                    warm_args, dict(max_steps=bucket, config=cfg),
                 )
                 chained = warm_fn(*warm_args).robustness
                 if return_both:
@@ -276,8 +280,8 @@ def eval_robustness_batch(
                         jnp.asarray(pr_s),
                     )
                     score_fn = _compiled(
-                        _score_jit, (bucket, config.chunk),
-                        score_args + (bucket, config.chunk), {},
+                        _score_jit, (bucket, cfg.chunk),
+                        score_args + (bucket, cfg.chunk), {},
                     )
                     scores = score_fn(*score_args)
                     chained_scores = np.asarray(chained)
@@ -291,8 +295,8 @@ def eval_robustness_batch(
                     jnp.asarray(pr_s),
                 )
                 score_fn = _compiled(
-                    _score_jit, (bucket, config.chunk),
-                    score_args + (bucket, config.chunk), {},
+                    _score_jit, (bucket, cfg.chunk),
+                    score_args + (bucket, cfg.chunk), {},
                 )
                 scores = score_fn(*score_args)
             else:
@@ -315,7 +319,7 @@ def eval_robustness_batch(
 def eval_robustness_program(
     code: str,
     key: Optional[jax.Array] = None,
-    config: SynthesisConfig = SynthesisConfig(),
+    config: Optional[SynthesisConfig] = None,
 ) -> Tuple[Scalar, Scalar]:
     """Single-program form of the reference ``eval_robustness`` contract."""
     return eval_robustness_batch([code], key=key, config=config)[0]

@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -186,14 +187,25 @@ def controller_utility_gain(
         # mean + median so guidance quality is separable from tail events
         # (the reference likewise reports failure *rates* next to MRE,
         # read_result.py:137-153, rather than folding them into means).
-        _CAT = -90.0
+        #
+        # The cutoff is SCALE-AWARE per cell: heat and wave utilities live
+        # on different scales (heat cells can have baseline means near -27
+        # while wave sits near +20), so a fixed absolute threshold would
+        # make "catastrophic" family-dependent.  Cutoff = 6 robust sigmas
+        # (1.4826 * MAD) below the baseline-arm median, capped at -90 so a
+        # merely-bad-but-typical generation is never labeled catastrophic
+        # in a tight-spread cell.
+        b_sorted = sorted(b_vals)
+        b_med = statistics.median(b_sorted)
+        mad = statistics.median([abs(v - b_med) for v in b_sorted])
+        cat_cut = min(-90.0, b_med - 6.0 * 1.4826 * max(mad, 1.0))
         clean = [g for g, tv, bv in zip(gains, t_vals, b_vals)
-                 if tv > _CAT and bv > _CAT]
+                 if tv > cat_cut and bv > cat_cut]
         clean_b = [bv for tv, bv in zip(t_vals, b_vals)
-                   if tv > _CAT and bv > _CAT]
+                   if tv > cat_cut and bv > cat_cut]
         clean_mean = sum(clean) / len(clean) if clean else 0.0
         clean_b_mean = sum(clean_b) / len(clean_b) if clean_b else 0.0
-        med = sorted(gains)[n // 2]
+        med = statistics.median(gains)
         out[f"{m.group('dataset')}|shots={m.group('shots')}"] = {
             "mean_gain": mean_gain,
             "rel_gain_pct": 100.0 * mean_gain / max(abs(b_mean), 1e-9),
@@ -206,10 +218,11 @@ def controller_utility_gain(
             "clean_mean_gain": clean_mean,
             "clean_rel_gain_pct": (
                 100.0 * clean_mean / max(abs(clean_b_mean), 1e-9)),
+            "catastrophic_cutoff": cat_cut,
             "catastrophic_rate_treatment": sum(
-                1 for v in t_vals if v <= _CAT) / n,
+                1 for v in t_vals if v <= cat_cut) / n,
             "catastrophic_rate_baseline": sum(
-                1 for v in b_vals if v <= _CAT) / n,
+                1 for v in b_vals if v <= cat_cut) / n,
         }
     return out
 

@@ -104,7 +104,8 @@ def run_shard(
         from pdec.control.synthesis import SynthesisConfig
         from pdec.pipeline.simulate import simulate_ground_truth
 
-        cfg = SynthesisConfig.high() if high_quality else SynthesisConfig()
+        # None -> per-family shipped defaults inside eval_robustness_batch
+        cfg = SynthesisConfig.high() if high_quality else None
         labeled: List[Dict] = []
         t0 = time.time()
         for i in range(0, len(rows), batch):

@@ -67,7 +67,39 @@ def _perturb_clause(rng: random.Random, c: Clause, t_final: float) -> Clause:
     return dataclasses.replace(c, m=c.m + delta_m)
 
 
+def _or_nodes(f: Formula, path=()) -> List[tuple]:
+    """Paths (sequences of 0/1 child picks) to every ``or`` junction."""
+    if isinstance(f, Clause):
+        return []
+    op, left, right = f
+    out = [path] if op == "or" else []
+    out += _or_nodes(left, path + (0,))
+    out += _or_nodes(right, path + (1,))
+    return out
+
+
+def _replace_at(f: Formula, path: tuple, side: int) -> Formula:
+    """Replace the junction at ``path`` with its ``side``-th child."""
+    if not path:
+        return f[1 + side]
+    op, left, right = f
+    if path[0] == 0:
+        return (op, _replace_at(left, path[1:], side), right)
+    return (op, left, _replace_at(right, path[1:], side))
+
+
 def _perturb_formula(rng: random.Random, f: Formula, t_final: float) -> Formula:
+    # Disjunct branching: commit to ONE side of an `or` — the gradient
+    # analogue of the integer branching Gurobi's MILP does on disjunctions
+    # (SURVEY §7.3 names disjunctions as the correctness risk of the
+    # smooth relaxation).  A subgoal that picks the RIGHT disjunct
+    # warm-starts the true objective into the correct basin, which is
+    # exactly the kind of guidance a controller can learn to emit; the
+    # soft-max over disjuncts gives the optimizer no such commitment.
+    ors = _or_nodes(f)
+    if ors and rng.random() < 0.5:
+        path = rng.choice(ors)
+        return _replace_at(f, path, rng.choice([0, 1]))
     if isinstance(f, Clause):
         return _perturb_clause(rng, f, t_final)
     op, left, right = f
@@ -94,9 +126,11 @@ def _pad_to(n: int, quantum: int = 256) -> int:
 def build_dpo_pairs(
     examples: Sequence[GeneratedExample],
     n_candidates: int = 4,
-    synthesis: SynthesisConfig = SynthesisConfig(),
+    synthesis: Optional[SynthesisConfig] = None,
     seed: int = 0,
     chain: bool = True,
+    n_seeds: int = 1,
+    floor_frac: float = 0.05,
 ) -> List[Dict]:
     """-> reference-schema DPO rows, one per (winner, loser) extreme pair.
 
@@ -110,7 +144,14 @@ def build_dpo_pairs(
     (identity) scores exactly the no-controller chained baseline, so every
     surviving pair certifies a subgoal that beats no-intervention.
     ``chain=False`` keeps the round-3 plain definition (synthesize on the
-    candidate, score on the original)."""
+    candidate, score on the original).
+
+    ``n_seeds`` replicates the whole scoring with independent synthesis
+    seeds and averages the utilities: multi-start synthesis jitters
+    utilities run-to-run, and that label noise — not guidance quality —
+    set the round-3 preference noise floor.  Averaging k replicates cuts
+    the noise ~sqrt(k), so genuinely-helpful subgoals separate from ties;
+    pass a matching lower ``floor_frac`` (see `select_preference`)."""
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -141,6 +182,9 @@ def build_dpo_pairs(
     times = [None] * len(flat)
     gt_cache = {}  # ex_idx -> compiled GT spec
     for (kind, n_el, bucket), ex_idxs in ex_groups.items():
+        # None -> the family's shipped defaults (per-family strides)
+        synth_cfg = (synthesis if synthesis is not None
+                     else SynthesisConfig.for_family(kind))
         t0 = time.perf_counter()
         sys_ex = problems_from_programs(
             [examples[i].program for i in ex_idxs], max_steps=bucket)
@@ -170,39 +214,45 @@ def build_dpo_pairs(
         all_scores = []
         for s in range(0, n_pad, cap):
             stacked = take_systems(sys_ex, positions[s:s + cap])
-            res = jax.jit(
-                synthesize_batch, static_argnames=("max_steps", "config")
-            )(stacked, cl[s:s + cap], pr[s:s + cap], key, max_steps=bucket,
-              config=synthesis)
-            if chain:
-                # 2. utility = chained: re-optimize the ORIGINAL spec with
-                # the candidate's optimum in the start portfolio
-                scores = jax.jit(
+            reps = []
+            for rep in range(max(n_seeds, 1)):
+                k_rep = jax.random.fold_in(key, 2 * rep)
+                res = jax.jit(
                     synthesize_batch, static_argnames=("max_steps", "config")
-                )(stacked, cl_gt[s:s + cap], pr_gt[s:s + cap],
-                  jax.random.fold_in(key, 1), max_steps=bucket,
-                  config=synthesis, init_knots=res.knots).robustness
-            else:
-                # 2. utility = achieved robustness on the ORIGINAL spec
-                scores = jax.jit(
-                    jax.vmap(evaluate_controls,
-                             in_axes=(0, 0, 0, 0, None, None)),
-                    static_argnums=(4, 5),
-                )(stacked, res.controls, cl_gt[s:s + cap], pr_gt[s:s + cap],
-                  bucket, synthesis.chunk)
-            # ONE device->host transfer per dispatch (per-element float()
-            # indexing costs a tunnel round trip each)
-            all_scores.append(np.asarray(scores))
+                )(stacked, cl[s:s + cap], pr[s:s + cap], k_rep,
+                  max_steps=bucket, config=synth_cfg)
+                if chain:
+                    # 2. utility = chained: re-optimize the ORIGINAL spec
+                    # with the candidate's optimum in the start portfolio
+                    scores = jax.jit(
+                        synthesize_batch,
+                        static_argnames=("max_steps", "config")
+                    )(stacked, cl_gt[s:s + cap], pr_gt[s:s + cap],
+                      jax.random.fold_in(key, 2 * rep + 1), max_steps=bucket,
+                      config=synth_cfg, init_knots=res.knots).robustness
+                else:
+                    # 2. utility = achieved robustness on the ORIGINAL spec
+                    scores = jax.jit(
+                        jax.vmap(evaluate_controls,
+                                 in_axes=(0, 0, 0, 0, None, None)),
+                        static_argnums=(4, 5),
+                    )(stacked, res.controls, cl_gt[s:s + cap],
+                      pr_gt[s:s + cap], bucket, synthesis.chunk)
+                # ONE device->host transfer per dispatch (per-element
+                # float() indexing costs a tunnel round trip each)
+                reps.append(np.asarray(scores))
+            all_scores.append(np.mean(reps, axis=0))
         scores = np.concatenate(all_scores)
         per = (time.perf_counter() - t0) / max(n_real, 1)
         for k, j in enumerate(idxs):
             utilities[j] = float(scores[k])
             times[j] = per
 
-    return emit_pairs(examples, flat, utilities, times)
+    return emit_pairs(examples, flat, utilities, times,
+                      floor_frac=floor_frac)
 
 
-def select_preference(utilities: Sequence[float]):
+def select_preference(utilities: Sequence[float], floor_frac: float = 0.05):
     """Identity-anchored preference selection for ONE example's candidate
     utilities (index 0 = the identity subgoal).  The deployment decision
     the controller faces is "intervene with THIS subgoal or do nothing",
@@ -226,7 +276,7 @@ def select_preference(utilities: Sequence[float]):
     worst = min(idxs, key=lambda j: utilities[j])
 
     def floor(j):
-        return 0.05 * (abs(utilities[j]) + 1.0)
+        return floor_frac * (abs(utilities[j]) + 1.0)
 
     if best != ident and utilities[best] - utilities[ident] > floor(ident):
         return best, ident
@@ -235,14 +285,16 @@ def select_preference(utilities: Sequence[float]):
     return None
 
 
-def emit_pairs(examples, flat, utilities, times) -> List[Dict]:
+def emit_pairs(examples, flat, utilities, times,
+               floor_frac: float = 0.05) -> List[Dict]:
     """reference-schema rows from scored candidates (see select_preference)."""
     rows: List[Dict] = []
     by_example: Dict[int, List[int]] = {}
     for j, (i, _) in enumerate(flat):
         by_example.setdefault(i, []).append(j)
     for i, idxs in by_example.items():
-        pick = select_preference([utilities[j] for j in idxs])
+        pick = select_preference([utilities[j] for j in idxs],
+                                 floor_frac=floor_frac)
         if pick is None:
             continue
         w, l = idxs[pick[0]], idxs[pick[1]]
@@ -259,6 +311,12 @@ def emit_pairs(examples, flat, utilities, times) -> List[Dict]:
                 "dataset_class": ex.meta.get("kind", "heat"),
                 "pidx": i,
                 "nc": len(formula_clauses(ex.formula)),
+                # diagnostics (not consumed by training): which deployment
+                # decision this pair teaches, and the utility gap over the
+                # identity (no-controller) arm
+                "pair_kind": ("intervene" if pick[0] != 0
+                              else "keep_identity"),
+                "identity_utility": utilities[idxs[0]],
             }
         )
     return rows

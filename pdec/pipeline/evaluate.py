@@ -107,7 +107,7 @@ class EvalDriver:
         engines: Dict[str, object],  # role -> InferenceEngine-like
         prompt_dataset: str = "combined",
         bank_dir: Optional[str] = None,
-        synthesis: SynthesisConfig = SynthesisConfig(),
+        synthesis: Optional[SynthesisConfig] = None,
         temperature: float = 0.2,
         max_new_tokens: int = 1024,
         n_repeat_sampling: int = 1,

@@ -23,7 +23,7 @@ from pdec.eval.robustness import eval_robustness_batch
 def simulate_ground_truth(
     items: Sequence[Dict],
     python_key: str = "python",
-    synthesis: SynthesisConfig = SynthesisConfig(),
+    synthesis: Optional[SynthesisConfig] = None,
     seed: int = 0,
     max_num_examples: Optional[int] = None,
     out_path: Optional[str] = None,

@@ -28,7 +28,7 @@ def make_validate_fn(
     model_cfg,
     tokenizer,
     validation_items: Dict[str, List[Dict]],  # dataset name -> rows
-    synthesis: SynthesisConfig = SynthesisConfig(),
+    synthesis: Optional[SynthesisConfig] = None,
     num_examples: int = VALID_NUM_EXAMPLES,
     shots: Sequence[int] = VALID_SHOTS,
     eval_method: str = VALID_METHOD,

@@ -54,6 +54,30 @@ def _junction_ops(f: Formula) -> List[str]:
     return [op] + _junction_ops(left) + _junction_ops(right)
 
 
+def _restrictions(f: Formula):
+    """All disjunct-commitments of ``f``: every formula obtainable by
+    replacing any subset of ``or`` junctions with one of their children
+    (identity included, yielded first).
+
+    Committing to one side of an ``or`` is a *sound* subgoal move —
+    satisfying a disjunct implies satisfying the disjunction — and it is
+    the gradient analogue of the integer branching the reference's Gurobi
+    MILP performs on disjunctions (SURVEY §7.3).  The datagen candidate
+    pool makes this move (``dpo_datagen._perturb_formula``), so the gate
+    must accept it.  Corpus formulas have <=4 clauses, so the enumeration
+    is tiny."""
+    if isinstance(f, Clause):
+        yield f
+        return
+    op, left, right = f
+    for l in _restrictions(left):
+        for r in _restrictions(right):
+            yield (op, l, r)
+    if op == "or":
+        yield from _restrictions(left)
+        yield from _restrictions(right)
+
+
 def _clause_within_envelope(base: Clause, cand: Clause) -> bool:
     if cand.temporal_op != base.temporal_op or cand.cmp != base.cmp:
         return False
@@ -83,19 +107,26 @@ def _clause_within_envelope(base: Clause, cand: Clause) -> bool:
     return True
 
 
+def _match_against_restrictions(base: Formula, cand: Formula, clause_ok) -> bool:
+    cand_ops = _junction_ops(cand)
+    cand_cl = formula_clauses(cand)
+    for variant in _restrictions(base):
+        if _junction_ops(variant) != cand_ops:
+            continue
+        var_cl = formula_clauses(variant)
+        if len(var_cl) != len(cand_cl):
+            continue
+        if all(clause_ok(b, c) for b, c in zip(var_cl, cand_cl)):
+            return True
+    return False
+
+
 def subgoal_within_envelope(base: Formula, cand: Formula) -> bool:
     """True iff ``cand`` is a training-support rewrite of ``base``:
-    identical junction structure and clause-by-clause deltas inside the
+    a disjunct-commitment of ``base`` (possibly identity) whose junction
+    structure matches and whose clause-by-clause deltas are inside the
     DPO candidate-move envelope."""
-    if _junction_ops(base) != _junction_ops(cand):
-        return False
-    base_cl = formula_clauses(base)
-    cand_cl = formula_clauses(cand)
-    if len(base_cl) != len(cand_cl):
-        return False
-    return all(
-        _clause_within_envelope(b, c) for b, c in zip(base_cl, cand_cl)
-    )
+    return _match_against_restrictions(base, cand, _clause_within_envelope)
 
 
 def same_structure(base: Formula, cand: Formula) -> bool:
@@ -112,16 +143,13 @@ def same_structure(base: Formula, cand: Formula) -> bool:
     the best cell strongly positive (wave_nc1 shots=2: +16.3% -> +8.3%);
     the full numeric envelope (``subgoal_within_envelope``) also fixes the
     negatives but rejects the big out-of-envelope WINS on cells where the
-    translator anchor is weak (same cell: -> -16.7%)."""
-    if _junction_ops(base) != _junction_ops(cand):
-        return False
-    base_cl = formula_clauses(base)
-    cand_cl = formula_clauses(cand)
-    if len(base_cl) != len(cand_cl):
-        return False
-    return all(
-        b.temporal_op == c.temporal_op and b.cmp == c.cmp
-        for b, c in zip(base_cl, cand_cl)
+    translator anchor is weak (same cell: -> -16.7%).
+
+    Disjunct commitments of the base (see ``_restrictions``) are accepted
+    by both gates."""
+    return _match_against_restrictions(
+        base, cand,
+        lambda b, c: b.temporal_op == c.temporal_op and b.cmp == c.cmp,
     )
 
 

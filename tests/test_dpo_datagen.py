@@ -26,7 +26,10 @@ def test_dpo_pair_schema_and_ordering():
                            chain=False)
     assert rows, "no preference pairs produced"
     for row in rows:
-        assert set(row) == REFERENCE_DPO_KEYS
+        # reference schema keys all present (extra diagnostic keys —
+        # pair_kind, identity_utility — are allowed; the tokenizer only
+        # reads the reference keys)
+        assert REFERENCE_DPO_KEYS <= set(row)
         # winner strictly better than loser on the TRUE objective
         assert row["w_utility"] > row["l_utility"]
         # both sstl views parse back into valid formulas
@@ -78,7 +81,10 @@ def test_chained_scoring_produces_schema_rows():
     ]
     rows = build_dpo_pairs(examples, n_candidates=4, synthesis=FAST, seed=2)
     for row in rows:
-        assert set(row) == REFERENCE_DPO_KEYS
+        # reference schema keys all present (extra diagnostic keys —
+        # pair_kind, identity_utility — are allowed; the tokenizer only
+        # reads the reference keys)
+        assert REFERENCE_DPO_KEYS <= set(row)
         assert row["w_utility"] > row["l_utility"]
 
 
@@ -96,3 +102,47 @@ def test_select_preference_branches():
     # best beats identity but only within the floor -> falls through to
     # the abstain check, which also fails -> no pair
     assert select_preference([1.0, 1.05, 0.96]) is None
+
+
+def test_branch_move_commits_to_one_disjunct():
+    """_perturb_formula's branch move replaces an `or` junction with one
+    of its children (the gradient analogue of MILP integer branching on
+    disjunctions); over many seeds on an or-formula both disjunct choices
+    appear and the result never contains that `or`."""
+    from pdec.pipeline.dpo_datagen import _or_nodes, _perturb_formula
+
+    rng = random.Random(3)
+    ex = None
+    for _ in range(200):
+        cand = sample_problem(
+            rng, GeneratorConfig(kind="heat", n_clauses=3))
+        if _or_nodes(cand.formula):
+            ex = cand
+            break
+    assert ex is not None, "generator never produced an or-formula"
+    n_or = len(_or_nodes(ex.formula))
+    n_cl = len(formula_clauses(ex.formula))
+    branched = 0
+    for s in range(64):
+        r = random.Random(s)
+        out = _perturb_formula(r, ex.formula, ex.program.t_final)
+        if len(formula_clauses(out)) < n_cl:
+            branched += 1
+            assert len(_or_nodes(out)) < n_or
+    # the branch move fires with probability ~1/2 on or-formulas
+    assert branched > 10
+
+
+def test_score_seed_replication_averages_labels():
+    """n_seeds > 1 averages utilities over independent synthesis seeds;
+    the pair schema is unchanged and winners still beat losers."""
+    rng = random.Random(5)
+    examples = [
+        sample_problem(rng, GeneratorConfig(kind="heat", n_clauses=1))
+        for _ in range(4)
+    ]
+    rows = build_dpo_pairs(examples, n_candidates=3, synthesis=FAST,
+                           seed=0, chain=False, n_seeds=2, floor_frac=0.02)
+    for row in rows:
+        assert row["w_utility"] > row["l_utility"]
+        assert row["pair_kind"] in ("intervene", "keep_identity")

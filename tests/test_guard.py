@@ -41,6 +41,22 @@ def test_clause_count_change_fails():
     assert not subgoal_within_envelope(_clause(), f)
 
 
+def test_disjunct_commitment_passes():
+    # committing to ONE side of an `or` is a sound subgoal (satisfying a
+    # disjunct implies the disjunction) and a datagen candidate move
+    left = _clause(temporal_op="F")
+    right = _clause(b=3.0)
+    f = ("and", _clause(), ("or", left, right))
+    assert subgoal_within_envelope(f, ("and", _clause(), left))
+    assert subgoal_within_envelope(f, ("and", _clause(), right))
+    # but committing and then moving OUT of the numeric envelope fails
+    far = dataclasses.replace(right, b=30.0)
+    assert not subgoal_within_envelope(f, ("and", _clause(), far))
+    # an `and` cannot be "committed" — dropping its clause still fails
+    g = ("and", _clause(), _clause(b=2.0))
+    assert not subgoal_within_envelope(g, _clause())
+
+
 def test_junction_op_change_fails():
     a = ("and", _clause(), _clause(b=2.0))
     o = ("or", _clause(), _clause(b=2.0))

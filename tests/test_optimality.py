@@ -78,8 +78,8 @@ def test_synthesis_within_tolerance_of_grid_optimum(fidx):
 
 @pytest.mark.parametrize("fidx", range(len(FORMULAS)))
 def test_defaults_within_tolerance_of_grid_optimum(fidx):
-    """Pin the SHIPPED ``SynthesisConfig()`` defaults — exactly what
-    bench.py and the eval path run — to the 1% tolerance.  A future
+    """Pin the SHIPPED ``SynthesisConfig.for_family("heat")`` defaults —
+    exactly what bench.py and the eval path run — to the 1% tolerance.  A future
     "faster" default that degrades solution quality must fail here, not
     just shift an offline study (VERDICT r2 weak #2)."""
     system = small_heat_system()
@@ -91,7 +91,7 @@ def test_defaults_within_tolerance_of_grid_optimum(fidx):
 
     res = synthesize(
         system, cl, pr, jax.random.PRNGKey(fidx), MAX_STEPS,
-        SynthesisConfig(),
+        SynthesisConfig.for_family("heat"),
     )
     rho = float(res.robustness)
 
@@ -103,7 +103,9 @@ def test_defaults_within_tolerance_of_grid_optimum(fidx):
 
 def test_wave_defaults_within_tolerance_of_grid_optimum():
     """Wave family (second-order dynamics, unit-circle spectra): the
-    shipped defaults must also clear the exhaustive 2-phase grid optimum
+    shipped ``for_family("wave")`` defaults (coarser eval/sel strides —
+    wave's fine grid is 20x heat's in time) must also clear the
+    exhaustive 2-phase grid optimum
     within the 1% tolerance.  The heat-only harness left wave quality
     vouched only by end-to-end tests (the family where controller
     guidance matters most — see docs/ROUND3.md)."""
@@ -117,7 +119,7 @@ def test_wave_defaults_within_tolerance_of_grid_optimum():
     spec = compile_spec(prog.formula)
     cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
 
-    cfg = SynthesisConfig()
+    cfg = SynthesisConfig.for_family("wave")
     n_chunks = max_steps // cfg.chunk
     half = n_chunks // 2
     grid = jnp.linspace(-1.0, 1.0, 65) * system.u_scale

@@ -263,7 +263,8 @@ def test_utility_gain_tail_decomposition(tmp_path):
     assert g["clean_mean_gain"] == pytest.approx((0.5 - 0.5) / 2)
     assert g["catastrophic_rate_treatment"] == pytest.approx(0.25)
     assert g["catastrophic_rate_baseline"] == pytest.approx(0.25)
-    assert g["median_gain"] == pytest.approx(0.5)  # upper median of n=4
+    # conventional midpoint median of [-296, -0.5, 0.5, 154]
+    assert g["median_gain"] == pytest.approx(0.0)
     text = format_utility_gain_table(gains)
     assert "clean gain" in text and "cat% ctl/base" in text
 
