@@ -33,12 +33,10 @@ def main():
     base = SynthesisConfig.for_family(kind)
     variants = {
         "family-default": base,
-        "obj16": base._replace(eval_stride=16),
         "sel4": base._replace(sel_stride=4),
-        "inc3": base._replace(incumbent_every=3),
-        "obj16+sel4": base._replace(eval_stride=16, sel_stride=4),
-        "obj16+sel4+inc3": base._replace(
-            eval_stride=16, sel_stride=4, incumbent_every=3),
+        "sel8": base._replace(sel_stride=8),
+        "sel4+inc3": base._replace(sel_stride=4, incumbent_every=3),
+        "sel4+inc4": base._replace(sel_stride=4, incumbent_every=4),
     }
     systems, cl, pr, max_steps = build_batch(kind, n)
     synth = jax.jit(synthesize_batch, static_argnames=("max_steps", "config"))

@@ -123,11 +123,15 @@ class SynthesisConfig(NamedTuple):
         at the default 4.  These strides are the measured
         bandwidth/quality knee per family — the robustness tensors
         [T/stride, X, clauses] are the synthesis hot-loop's HBM-bandwidth
-        bound (see docs/PERF.md round-4 section)."""
+        bound (see docs/PERF.md round-4 section).  Selection strides are
+        the measured knee from benchmarks/stride_probe.py: wave sel 8
+        (grid still 2.5x finer in absolute time than heat's objective
+        grid) costs 0.3% mean robustness for +65% throughput; heat sel 4
+        costs <0.2%; both re-pinned at 1% of the grid optimum below."""
         b = base if base is not None else cls()
         if kind == "wave":
-            return b._replace(eval_stride=8, sel_stride=2, polish_stride=4)
-        return b._replace(sel_stride=2)
+            return b._replace(eval_stride=8, sel_stride=8, polish_stride=4)
+        return b._replace(sel_stride=4)
 
 
 class SynthesisResult(NamedTuple):
