@@ -83,7 +83,9 @@ fi
 
 echo "=== [3/5] retrain MID controller ==="
 root=runs/mid
-if [ ! -f "$root/controller/.r4_done" ]; then
+if [ "${SKIP_MID:-0}" = "1" ]; then
+  echo "SKIP_MID=1: deferring MID controller retrain (BASE path first)"
+elif [ ! -f "$root/controller/.r4_done" ]; then
   cp datasets/dpo/pairs_r4.jsonl "$root/dpo_pairs.jsonl"
   if [ -d "$root/controller" ] && [ ! -d "$root/controller_r3" ]; then
     mv "$root/controller" "$root/controller_r3"
