@@ -101,6 +101,68 @@ def test_defaults_within_tolerance_of_grid_optimum(fidx):
     )
 
 
+# Crafted or-heavy specs (VERDICT r3 #10).  The reference resolves
+# disjunctions globally via MILP integer branching (SURVEY.md §7.3's named
+# correctness risk for the gradient rebuild); these cases are built so a
+# single-basin local method fails: distant basins, disjuncts nested under
+# conjunctions, four-way choices, and eventually-style disjuncts.
+OR_FORMULAS = [
+    # four-way basin choice: or(or(hot, cold), or(track-high, track-low))
+    ("or",
+     ("or",
+      Clause.make("G", (3.0, 4.5), (0.5, 1.0), 0.0, 1.1, ">"),
+      Clause.make("G", (3.0, 4.5), (0.5, 1.0), 0.0, -1.1, "<")),
+     ("or",
+      Clause.make("G", (3.0, 4.5), (0.4, 1.0), 0.5, 0.3, "="),
+      Clause.make("G", (3.0, 4.5), (0.4, 1.0), -0.5, -0.3, "="))),
+    # disjunction under conjunction: warm up early AND end in one of two
+    # far-apart states — committing to the wrong disjunct early is
+    # unrecoverable within the horizon
+    ("and",
+     Clause.make("G", (1.0, 2.0), (0.4, 1.0), 0.0, 0.3, ">"),
+     ("or",
+      Clause.make("G", (4.0, 4.8), (0.5, 1.0), 0.0, 1.0, ">"),
+      Clause.make("G", (4.0, 4.8), (0.5, 1.0), 0.0, -0.6, "<"))),
+    # asymmetric basins: a tracking disjunct (margin capped near 0) vs a
+    # threshold disjunct whose margin keeps growing with effort — the
+    # global optimum is the threshold branch, a lazy local method
+    # satisfies the tracker and stops
+    ("or",
+     Clause.make("G", (2.0, 4.5), (0.4, 1.0), 0.0, 0.0, "="),
+     Clause.make("G", (3.0, 4.5), (0.5, 1.0), 0.0, 0.8, ">")),
+    # eventually-one-of-two: reach either extreme at some point late
+    ("or",
+     Clause.make("F", (3.5, 4.8), (0.5, 1.0), 0.0, 1.4, ">"),
+     Clause.make("F", (3.5, 4.8), (0.5, 1.0), 0.0, -1.4, "<")),
+]
+
+
+@pytest.mark.parametrize("fidx", range(len(OR_FORMULAS)))
+def test_disjunction_stress_at_shipped_defaults(fidx):
+    """Or-heavy specs at the SHIPPED heat defaults must still clear the
+    exhaustive 2-phase grid optimum within the 1% tolerance — the
+    multi-start batching is the rebuild's answer to MILP integer
+    branching, so it is pinned here on specs designed to defeat a
+    single-basin local optimizer."""
+    system = small_heat_system()
+    spec = compile_spec(OR_FORMULAS[fidx])
+    cl, pr = jnp.asarray(spec.clauses), jnp.asarray(spec.program)
+
+    grid = jnp.linspace(-4.0, 4.0, 65)
+    best_grid = float(_grid_best(system, cl, pr, grid))
+
+    res = synthesize(
+        system, cl, pr, jax.random.PRNGKey(100 + fidx), MAX_STEPS,
+        SynthesisConfig.for_family("heat"),
+    )
+    rho = float(res.robustness)
+
+    tolerance = 0.01 * 1.0
+    assert rho >= best_grid - tolerance, (
+        f"or-stress[{fidx}] {rho:.4f} below grid optimum {best_grid:.4f}"
+    )
+
+
 def test_wave_defaults_within_tolerance_of_grid_optimum():
     """Wave family (second-order dynamics, unit-circle spectra): the
     shipped ``for_family("wave")`` defaults (coarser eval/sel strides —
