@@ -38,8 +38,8 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 import pdec.models.config as configs
-from pdec.models.quantize import QUANT_KEYS, param_bytes
-from pdec.models.transformer import init_params
+from benchmarks.int8_util import build_int8_params
+from pdec.models.quantize import param_bytes
 from pdec.infer.sharded import ShardedDecoder
 from pdec.parallel.mesh import MeshConfig, make_mesh
 
@@ -49,33 +49,7 @@ BATCHES = [int(b) for b in sys.argv[3:]] or [8, 32]
 
 cfg = getattr(configs, PRESET)
 
-
-def build_int8_params(key):
-    """Random int8 param tree with the exact quantize_params layout,
-    created leaf-by-leaf on device (never materializes bf16 7B)."""
-    shapes = jax.eval_shape(
-        lambda k: init_params(k, cfg), jax.random.PRNGKey(0))
-
-    def mk(path_keys, sd):
-        name = path_keys[-1]
-        k = jax.random.fold_in(key, hash("/".join(path_keys)) % (2**31))
-        if name in QUANT_KEYS or name == "lm_head":
-            q = jax.random.randint(k, sd.shape, -127, 128, dtype=jnp.int8)
-            scale = jnp.full(sd.shape[:-2] + (1, sd.shape[-1]),
-                             0.02 / np.sqrt(sd.shape[-2]), jnp.float32)
-            return {"q": q, "scale": scale}
-        return (jax.random.normal(k, sd.shape, jnp.float32) * 0.02).astype(
-            sd.dtype)
-
-    def walk(node, path):
-        if isinstance(node, dict):
-            return {k: walk(v, path + (k,)) for k, v in node.items()}
-        return mk(path, node)
-
-    return walk(shapes, ())
-
-
-params = build_int8_params(jax.random.PRNGKey(1))
+params = build_int8_params(jax.random.PRNGKey(1), cfg)
 gb = param_bytes(params) / 2**30
 print(f"{PRESET} int8 params on device: {gb:.2f} GiB "
       f"(devices={jax.device_count()})", flush=True)
