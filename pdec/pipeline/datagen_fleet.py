@@ -90,9 +90,17 @@ def run_shard(
     out_path = os.path.join(out_dir, f"shard_{shard_id:05d}.jsonl")
     metrics_path = os.path.join(out_dir, f"metrics.{shard_id}.json")
     if skip_existing and os.path.exists(out_path) and os.path.exists(metrics_path):
-        log(f"shard {shard_id}: exists, skipping")
         with open(metrics_path) as f:
-            return json.load(f)
+            existing = json.load(f)
+        # A shard generated without --label has no "label_seconds"; when
+        # labeling is requested, regenerate it labeled (rows are
+        # deterministic in (seed, shard_id), so this only ADDS the GT
+        # column) instead of skipping — `--shards 0-255 --label` then
+        # resumes an unlabeled corpus in place.
+        if not label or "label_seconds" in existing:
+            log(f"shard {shard_id}: exists, skipping")
+            return existing
+        log(f"shard {shard_id}: exists unlabeled, relabeling")
 
     t0 = time.time()
     rows = generate_shard(shard_id, n_shards, total, seed=seed)

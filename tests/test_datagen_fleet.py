@@ -80,6 +80,27 @@ def test_run_shard_with_labeling(tmp_path):
     assert all("robustness" in r and "time" in r for r in rows)
 
 
+@pytest.mark.slow
+def test_run_shard_relabels_existing_unlabeled(tmp_path):
+    """A shard generated without --label is regenerated WITH labels when
+    labeling is requested later (in-place corpus labeling resume), while a
+    second labeled pass still skips."""
+    out = str(tmp_path)
+    run_shard(0, 1, 8, out, seed=2, label=False, log=lambda _: None)
+    p = os.path.join(out, "shard_00000.jsonl")
+    rows = [json.loads(l) for l in open(p)]
+    assert all("robustness" not in r for r in rows)
+
+    m = run_shard(0, 1, 8, out, seed=2, label=True, log=lambda _: None)
+    assert "label_seconds" in m
+    rows = [json.loads(l) for l in open(p)]
+    assert all("robustness" in r for r in rows)
+
+    mtime = os.path.getmtime(p)
+    run_shard(0, 1, 8, out, seed=2, label=True, log=lambda _: None)
+    assert os.path.getmtime(p) == mtime  # labeled shard: skipped
+
+
 def test_cli_explicit_shard_selection(tmp_path):
     """--shards 'a-b,c' overrides host assignment (used to GT-label a
     defined slice of a big corpus before generating the rest)."""
