@@ -28,6 +28,11 @@ python benchmarks/bench_7b_train.py DEEPSEEK_7B 1024 4 4 \
   2>&1 | tee -a /tmp/bench_7b_train.log | grep -v xla_bridge
 echo "=== [q1] done $(date -u) ==="
 
+echo "=== [q1b] prefix-cache prefill gain (TPU) ==="
+python benchmarks/bench_prefix_cache.py MID 64 448 \
+  2>&1 | tee /tmp/bench_prefix.log | grep -v xla_bridge
+echo "=== [q1b] done $(date -u) ==="
+
 echo "=== [q2] MID sweep: utility-gain method pair ==="
 python scripts/real_run.py eval --root runs/mid --preset MID \
   --repeats 3 --eval-max 512 --methods to_python_two_step full_pipeline \
