@@ -64,10 +64,12 @@ def main(argv=None):
         n_repeat_sampling=args.n_repeat_sampling,
     )
     dataset_paths = dict(kv.split("=", 1) for kv in args.datasets)
-    run_sweep(
+    _, failed = run_sweep(
         driver, dataset_paths, args.methods, args.shots, args.seed,
         out_dir=args.out, max_num_examples=args.max_num_examples,
     )
+    if failed:
+        raise SystemExit(1)  # partial sweeps must be visible to callers
 
 
 if __name__ == "__main__":

@@ -38,6 +38,12 @@ from pdec.models.config import ModelConfig
 from pdec.models.transformer import forward, init_kv_cache
 
 
+def _is_hbm_oom(e: Exception) -> bool:
+    """True for XLA device out-of-memory failures (and nothing else)."""
+    msg = str(e)
+    return "RESOURCE_EXHAUSTED" in msg or "Resource exhausted" in msg
+
+
 def cache_shardings(mesh: Mesh):
     """KV cache pytree shardings: batch over (data, fsdp), heads over tp."""
     kv = NamedSharding(mesh, P(None, ("data", "fsdp"), None, "tp", None))
@@ -285,6 +291,29 @@ class ShardedEngine:
                 sub = dataclasses.replace(gen, seed=chunk_seed(gen.seed, ci))
                 out.extend(self.generate(prompts[i:i + self.max_batch], sub))
             return out
+        try:
+            return self._generate_batch(prompts, gen)
+        except Exception as e:  # device OOM is data-dependent (prompt len)
+            if len(prompts) == 1 or not _is_hbm_oom(e):
+                raise
+            # KV cache is O(batch x total_len): a long-prompt cell can
+            # exhaust HBM at the configured max_batch. Drop cached
+            # decoders and re-serve in halves — recursion finds the
+            # largest batch that fits instead of failing the caller.
+            self._dec_cache.clear()
+            import dataclasses
+
+            from pdec.infer.engine import chunk_seed
+
+            h = (len(prompts) + 1) // 2
+            out = []
+            for ci, part in enumerate((prompts[:h], prompts[h:])):
+                sub = dataclasses.replace(gen, seed=chunk_seed(gen.seed, ci))
+                out.extend(self.generate(list(part), sub))
+            return out
+
+    def _generate_batch(self, prompts: Sequence[str],
+                        gen: GenerationConfig) -> List[Generation]:
         tok = self.tokenizer
         eos_id = tok.eos_token_id
         n = len(prompts)

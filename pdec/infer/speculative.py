@@ -42,7 +42,11 @@ import numpy as np
 from jax.sharding import Mesh
 
 from pdec.infer.engine import Generation, GenerationConfig
-from pdec.infer.sharded import batch_rows_sharding, cache_shardings
+from pdec.infer.sharded import (
+    _is_hbm_oom,
+    batch_rows_sharding,
+    cache_shardings,
+)
 from pdec.models.config import ModelConfig
 from pdec.models.transformer import forward, init_kv_cache
 
@@ -342,6 +346,30 @@ class SpeculativeEngine:
                 sub = dataclasses.replace(gen, seed=chunk_seed(gen.seed, ci))
                 out.extend(self.generate(prompts[i:i + self.max_batch], sub))
             return out
+        try:
+            return self._generate_batch(prompts, gen)
+        except Exception as e:  # device OOM is data-dependent (prompt len)
+            if len(prompts) == 1 or not _is_hbm_oom(e):
+                raise
+            # HBM exhausted at this (batch, total_len): draft + target KV
+            # for a long-prompt MID cell can overflow a 16 GiB chip at the
+            # default max_batch. Drop cached decoders (their buffers) and
+            # serve the request in two halves — recursion finds the
+            # largest batch that fits instead of failing the eval cell.
+            self._dec_cache.clear()
+            import dataclasses
+
+            from pdec.infer.engine import chunk_seed
+
+            h = (len(prompts) + 1) // 2
+            out = []
+            for ci, part in enumerate((prompts[:h], prompts[h:])):
+                sub = dataclasses.replace(gen, seed=chunk_seed(gen.seed, ci))
+                out.extend(self.generate(list(part), sub))
+            return out
+
+    def _generate_batch(self, prompts: Sequence[str],
+                        gen: GenerationConfig) -> List[Generation]:
         tok = self.tokenizer
         eos_id = tok.eos_token_id
         n = len(prompts)

@@ -73,4 +73,4 @@ def run_sweep(
     if failed:
         logger.warning("sweep finished with %d failed combos: %s",
                        len(failed), failed)
-    return results
+    return results, failed

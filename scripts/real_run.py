@@ -274,7 +274,7 @@ def stage_eval(args):
         for name in args.datasets
     }
     out_dir = os.path.join(args.root, "eval")
-    run_sweep(
+    _, failed = run_sweep(
         driver, dataset_paths, methods, shots_list=args.shots,
         seed=args.seed, out_dir=out_dir,
         max_num_examples=args.eval_max,
@@ -282,6 +282,11 @@ def stage_eval(args):
         # cache or stale metrics.json would be silently re-served
         skip_existing_scores=not args.force_eval,
     )
+    if failed:
+        # exit nonzero so orchestration-level fallbacks fire (the MID
+        # sweep's "|| rerun without --speculative" depended on this; with
+        # exit 0 the per-combo failure tolerance silently ate the OOMs)
+        sys.exit(1)
 
 
 def stage_rescore(args):

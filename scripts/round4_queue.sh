@@ -33,11 +33,24 @@ python benchmarks/bench_prefix_cache.py MID 64 448 \
   2>&1 | tee /tmp/bench_prefix.log | grep -v xla_bridge
 echo "=== [q1b] done $(date -u) ==="
 
+# MID decode dominates sweep cost: serve speculatively (exact target
+# distribution; the engine now self-heals HBM OOM by batch halving), fall
+# back to plain decode if the speculative pass still exits nonzero — the
+# per-combo cache makes the fallback a resume, not a redo. real_run.py
+# eval now exits 1 on any failed combo, so the fallback actually fires
+# (the round-3 MID sweep died because it did not).
+mid_sweep() {
+  python scripts/real_run.py eval --root runs/mid --preset MID \
+    --repeats 3 --eval-max 512 --methods "$@" \
+    --speculative --role-preset draft=DRAFT \
+    || python scripts/real_run.py eval --root runs/mid --preset MID \
+         --repeats 3 --eval-max 512 --methods "$@" \
+    || echo "MID SWEEP FAILED: $*"
+  python scripts/real_run.py aggregate --root runs/mid || echo "AGG FAILED"
+}
+
 echo "=== [q2] MID sweep: utility-gain method pair ==="
-python scripts/real_run.py eval --root runs/mid --preset MID \
-  --repeats 3 --eval-max 512 --methods to_python_two_step full_pipeline \
-  || echo "Q2 FAILED"
-python scripts/real_run.py aggregate --root runs/mid || echo "Q2 AGG FAILED"
+mid_sweep to_python_two_step full_pipeline
 echo "=== [q2] done $(date -u) ==="
 
 echo "=== [q3] 2M corpus labeling ==="
@@ -51,11 +64,7 @@ python scripts/corpus_stats.py runs/corpus2m || true
 echo "=== [q3] done $(date -u) ==="
 
 echo "=== [q4] MID sweep: remaining methods ==="
-python scripts/real_run.py eval --root runs/mid --preset MID \
-  --repeats 3 --eval-max 512 \
-  --methods to_STL to_python_no_STL reasoning_only to_python_direct_with_sstl_cot \
-  || echo "Q4 FAILED"
-python scripts/real_run.py aggregate --root runs/mid || echo "Q4 AGG FAILED"
+mid_sweep to_STL to_python_no_STL reasoning_only to_python_direct_with_sstl_cot
 echo "=== [q4] done $(date -u) ==="
 
 echo "=== round4_queue.sh DONE $(date -u) ==="

@@ -200,3 +200,40 @@ def test_prefix_cache_exactness(mesh, tiny_setup, monkeypatch):
         assert g.token_ids == w.token_ids
         np.testing.assert_allclose(g.logprobs, w.logprobs, atol=1e-4)
         assert g.text == w.text
+
+
+def test_oom_fallback_halves_batch(mesh, tiny_setup, monkeypatch):
+    """RESOURCE_EXHAUSTED during a batch transparently re-serves it in
+    halves (same contract as the speculative engine), with outputs equal
+    to the unsplit greedy decode; non-OOM errors still propagate."""
+    _, sharded = tiny_setup
+    tok = ByteTokenizer()
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0, stop=())
+    prompts = ["hello world", "abcdefgh", "something longer here", "zz"]
+
+    eng = ShardedEngine(sharded, TINY, tok, mesh, max_len=64,
+                        prefix_cache=False)
+    want = eng.generate(prompts, gen)
+
+    eng2 = ShardedEngine(sharded, TINY, tok, mesh, max_len=64,
+                         prefix_cache=False)
+    real = ShardedEngine._generate_batch
+    calls = {"n": 0}
+
+    def flaky(self, ps, g):
+        calls["n"] += 1
+        if len(ps) > 1 and calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(self, ps, g)
+
+    monkeypatch.setattr(ShardedEngine, "_generate_batch", flaky)
+    got = eng2.generate(prompts, gen)
+    assert calls["n"] == 3
+    assert [g.token_ids for g in got] == [w.token_ids for w in want]
+
+    def always(self, ps, g):
+        raise ValueError("not an oom")
+
+    monkeypatch.setattr(ShardedEngine, "_generate_batch", always)
+    with pytest.raises(ValueError):
+        eng2.generate(prompts, gen)

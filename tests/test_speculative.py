@@ -118,3 +118,44 @@ def test_top_p_under_sampling_rejected(mesh, models):
             ["x"], GenerationConfig(max_new_tokens=4, temperature=0.5,
                                     top_p=0.9)
         )
+
+
+def test_oom_fallback_halves_batch(mesh, models, monkeypatch):
+    """An HBM RESOURCE_EXHAUSTED during a batch must transparently re-serve
+    the request in halves (dropping cached decoders), not fail the eval
+    cell — and the output must equal the unsplit greedy decode."""
+    import pdec.infer.speculative as sp
+
+    target, draft = models
+    tok = ByteTokenizer()
+    gen = GenerationConfig(max_new_tokens=10, temperature=0.0, stop=())
+    prompts = ["hello world", "abcdefgh", "a longer prompt string here",
+               "fourth row"]
+
+    spec = SpeculativeEngine(target, TINY, draft, TINY, tok, mesh, k=3,
+                             max_len=128)
+    want = spec.generate(prompts, gen)
+
+    spec2 = SpeculativeEngine(target, TINY, draft, TINY, tok, mesh, k=3,
+                              max_len=128)
+    real = SpeculativeEngine._generate_batch
+    calls = {"n": 0}
+
+    def flaky(self, ps, g):
+        calls["n"] += 1
+        if len(ps) > 1 and calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(self, ps, g)
+
+    monkeypatch.setattr(SpeculativeEngine, "_generate_batch", flaky)
+    got = spec2.generate(prompts, gen)
+    assert calls["n"] == 3  # 1 failed full batch + 2 halves
+    assert [g.token_ids for g in got] == [w.token_ids for w in want]
+
+    # non-OOM errors and single-row OOMs still propagate
+    def always(self, ps, g):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    monkeypatch.setattr(SpeculativeEngine, "_generate_batch", always)
+    with pytest.raises(RuntimeError):
+        spec2.generate(["only row"], gen)

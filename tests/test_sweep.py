@@ -26,12 +26,15 @@ def test_run_sweep_survives_combo_failure(tmp_path):
     ds = tmp_path / "a.jsonl"
     ds.write_text(json.dumps({"nl": "x"}) + "\n")
     driver = _FlakyDriver()
-    results = run_sweep(
+    results, failed = run_sweep(
         driver, {"a": str(ds)}, ["bad", "good"], shots_list=(0, 2),
         out_dir=str(tmp_path / "out"),
     )
-    # the failing combo is skipped, every other combo still runs
+    # the failing combo is skipped, every other combo still runs — and the
+    # failure is REPORTED so callers can exit nonzero (orchestration
+    # fallbacks key on the exit code)
     assert len(driver.calls) == 4
     assert ("a", "bad", 0) not in results
     assert results[("a", "good", 0)] == {"n_samples": 1}
     assert results[("a", "bad", 2)] == {"n_samples": 1}
+    assert failed == [("a", "bad", 0)]
