@@ -27,6 +27,7 @@ import dataclasses
 import json
 import math
 import os
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -160,7 +161,18 @@ class EvalDriver:
             stop=tuple(STOP_WORDS),
             seed=seed,
         )
-        return self.engines[role].generate(list(prompts), gen)
+        t0 = time.perf_counter()
+        gens = self.engines[role].generate(list(prompts), gen)
+        dt = time.perf_counter() - t0
+        # measured decode throughput per role so speculative-vs-plain
+        # speedups are recoverable from sweep metrics alone (the reference
+        # records per-example Gurobi runtimes for the same reason,
+        # eval_robustness_wrapper.py:16-21)
+        s, n = self._decode_stats.get(role, (0.0, 0))
+        self._decode_stats[role] = (
+            s + dt, n + sum(len(g.token_ids) for g in gens)
+        )
+        return gens
 
     # -- the driver ---------------------------------------------------------
 
@@ -186,6 +198,7 @@ class EvalDriver:
         existing ``predictions.jsonl`` without regenerating."""
         if eval_method not in _METHODS:
             raise ValueError(f"unknown eval method {eval_method!r}")
+        self._decode_stats: Dict[str, tuple] = {}
 
         if subset_id is not None and n_subsets > 1:
             items = list(items)[subset_id::n_subsets]
@@ -231,6 +244,9 @@ class EvalDriver:
         }
         if engine_kinds:
             metrics["serving"] = "+".join(sorted(engine_kinds))
+        for role, (secs, ntok) in self._decode_stats.items():
+            if secs > 0:
+                metrics[f"decode_tok_s_{role}"] = ntok / secs
         result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
         if run_dir is not None:
             os.makedirs(run_dir, exist_ok=True)
