@@ -161,7 +161,7 @@ def controller_utility_gain(
             return by_key
 
         t_by, b_by = keyed(t_preds), keyed(b_preds)
-        gains, t_vals, b_vals, wins, ties = [], [], [], 0, 0
+        gains, t_vals, b_vals, ex_ids, wins, ties = [], [], [], [], 0, 0
         for key, tp in t_by.items():
             bp = b_by.get(key)
             if bp is None:
@@ -172,6 +172,7 @@ def controller_utility_gain(
             gains.append(tr - br)
             t_vals.append(tr)
             b_vals.append(br)
+            ex_ids.append(key[0])  # example index = the bootstrap cluster
             wins += tr > br
             ties += tr == br
         if not gains:
@@ -199,24 +200,33 @@ def controller_utility_gain(
         b_med = statistics.median(b_sorted)
         mad = statistics.median([abs(v - b_med) for v in b_sorted])
         cat_cut = min(-90.0, b_med - 6.0 * 1.4826 * max(mad, 1.0))
-        clean = [g for g, tv, bv in zip(gains, t_vals, b_vals)
-                 if tv > cat_cut and bv > cat_cut]
-        clean_b = [bv for tv, bv in zip(t_vals, b_vals)
-                   if tv > cat_cut and bv > cat_cut]
+        keep = [tv > cat_cut and bv > cat_cut
+                for tv, bv in zip(t_vals, b_vals)]
+        clean = [g for g, k in zip(gains, keep) if k]
+        clean_ids = [e for e, k in zip(ex_ids, keep) if k]
+        clean_b = [bv for bv, k in zip(b_vals, keep) if k]
         clean_mean = sum(clean) / len(clean) if clean else 0.0
         clean_b_mean = sum(clean_b) / len(clean_b) if clean_b else 0.0
         med = statistics.median(gains)
-        # paired-bootstrap 95% CI on the clean mean gain: the judge's
-        # acceptance bar is a positive effect whose interval excludes
-        # zero (pairs are example x repeat matched, so resampling pairs
-        # preserves the pairing; deterministic seed for reproducibility)
-        ci_lo = ci_hi = 0.0
-        if len(clean) >= 2:
+        # paired CLUSTERED-bootstrap 95% CI on the clean mean gain: the
+        # judge's acceptance bar is a positive effect whose interval
+        # excludes zero.  Pairs are example x repeat matched; repeats of
+        # the same example share a prompt and are correlated, so i.i.d.
+        # pair resampling is anti-conservative — resample EXAMPLES
+        # (clusters) and keep every repeat of a sampled example
+        # (deterministic seed for reproducibility).  None when fewer than
+        # two clusters survive: no fabricated [0, 0] interval.
+        ci: Optional[List[float]] = None
+        uniq = sorted(set(clean_ids))
+        if len(clean) >= 2 and len(uniq) >= 2:
             rng = np.random.default_rng(0)
-            arr = np.asarray(clean, dtype=np.float64)
-            idx = rng.integers(0, len(arr), size=(2000, len(arr)))
-            boots = arr[idx].mean(axis=1)
-            ci_lo, ci_hi = np.percentile(boots, [2.5, 97.5]).tolist()
+            vals = np.asarray(clean, dtype=np.float64)
+            ids = np.asarray(clean_ids)
+            sums = np.asarray([vals[ids == u].sum() for u in uniq])
+            cnts = np.asarray([(ids == u).sum() for u in uniq])
+            pick = rng.integers(0, len(uniq), size=(2000, len(uniq)))
+            boots = sums[pick].sum(axis=1) / cnts[pick].sum(axis=1)
+            ci = np.percentile(boots, [2.5, 97.5]).tolist()
         out[f"{m.group('dataset')}|shots={m.group('shots')}"] = {
             "mean_gain": mean_gain,
             "rel_gain_pct": 100.0 * mean_gain / max(abs(b_mean), 1e-9),
@@ -229,7 +239,8 @@ def controller_utility_gain(
             "clean_mean_gain": clean_mean,
             "clean_rel_gain_pct": (
                 100.0 * clean_mean / max(abs(clean_b_mean), 1e-9)),
-            "clean_gain_ci95": [ci_lo, ci_hi],
+            "clean_gain_ci95": ci,
+            "n_clusters": len(uniq),
             "catastrophic_cutoff": cat_cut,
             "catastrophic_rate_treatment": sum(
                 1 for v in t_vals if v <= cat_cut) / n,
@@ -271,12 +282,14 @@ def format_utility_gain_table(gains: Dict[str, Dict],
     )
     for key in sorted(gains):
         g = gains[key]
+        ci = g.get("clean_gain_ci95")
+        ci_txt = (f"[{ci[0]:+.3f}, {ci[1]:+.3f}]"
+                  if isinstance(ci, (list, tuple)) else "n/a")
         text += (
             f"| {key} | {g['treatment_mean']:.4f} | {g['baseline_mean']:.4f} "
             f"| {g['mean_gain']:.4f} | {g['rel_gain_pct']:+.1f}% "
             f"| {g.get('clean_mean_gain', g['mean_gain']):.4f} "
-            f"| [{g.get('clean_gain_ci95', [0.0, 0.0])[0]:+.3f}, "
-            f"{g.get('clean_gain_ci95', [0.0, 0.0])[1]:+.3f}] "
+            f"| {ci_txt} "
             f"| {g.get('clean_rel_gain_pct', g['rel_gain_pct']):+.1f}% "
             f"| {g.get('median_gain', 0.0):.4f} "
             f"| {100 * g.get('catastrophic_rate_treatment', 0.0):.1f}/"

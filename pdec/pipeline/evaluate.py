@@ -164,14 +164,20 @@ class EvalDriver:
         t0 = time.perf_counter()
         gens = self.engines[role].generate(list(prompts), gen)
         dt = time.perf_counter() - t0
-        # measured decode throughput per role so speculative-vs-plain
-        # speedups are recoverable from sweep metrics alone (the reference
-        # records per-example Gurobi runtimes for the same reason,
-        # eval_robustness_wrapper.py:16-21)
-        s, n = self._decode_stats.get(role, (0.0, 0))
-        self._decode_stats[role] = (
-            s + dt, n + sum(len(g.token_ids) for g in gens)
-        )
+        # measured end-to-end generation throughput per role so
+        # speculative-vs-plain speedups are recoverable from sweep metrics
+        # alone (the reference records per-example Gurobi runtimes for the
+        # same reason, eval_robustness_wrapper.py:16-21).  The wall time
+        # includes prefill and, on the role's FIRST call, XLA compilation —
+        # so the metric is named gen_tok_s (not decode_tok_s), and the
+        # first call per role is tracked separately so the steady-state
+        # rate is recoverable (total minus first-call).
+        s, n, calls, s0, n0 = self._decode_stats.get(
+            role, (0.0, 0, 0, 0.0, 0))
+        ntok = sum(len(g.token_ids) for g in gens)
+        if calls == 0:
+            s0, n0 = dt, ntok
+        self._decode_stats[role] = (s + dt, n + ntok, calls + 1, s0, n0)
         return gens
 
     # -- the driver ---------------------------------------------------------
@@ -244,9 +250,16 @@ class EvalDriver:
         }
         if engine_kinds:
             metrics["serving"] = "+".join(sorted(engine_kinds))
-        for role, (secs, ntok) in self._decode_stats.items():
-            if secs > 0:
-                metrics[f"decode_tok_s_{role}"] = ntok / secs
+        # ntok == 0 means the engine doesn't report token ids (e.g. the
+        # OpenAI-compatible engine) — skip rather than record a misleading
+        # ~0 tok/s artifact value
+        for role, (secs, ntok, calls, s0, n0) in self._decode_stats.items():
+            if secs > 0 and ntok > 0:
+                metrics[f"gen_tok_s_{role}"] = ntok / secs
+                # steady-state rate, first (compile) call excluded
+                if calls > 1 and secs > s0 and ntok > n0:
+                    metrics[f"gen_tok_s_steady_{role}"] = (
+                        (ntok - n0) / (secs - s0))
         result = EvalResult(predictions=predictions, metrics=metrics, out_dir=None)
         if run_dir is not None:
             os.makedirs(run_dir, exist_ok=True)

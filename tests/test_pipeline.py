@@ -297,6 +297,54 @@ def test_utility_gain_chained_metric_key(tmp_path):
     assert "CHAINED" in text and "(chained)" in text
 
 
+def test_utility_gain_clustered_ci(tmp_path):
+    """The 95% CI is a CLUSTERED bootstrap: repeats of the same example
+    share a prompt and are correlated, so resampling must be over example
+    clusters, not example x repeat pairs.  With all pairs coming from ONE
+    example (any number of repeats) no CI can be computed — it must be
+    None and render as n/a, never a fabricated [0, 0]."""
+    from pdec.pipeline.aggregate import (
+        controller_utility_gain, format_utility_gain_table,
+    )
+
+    # single example, 3 repeats -> 3 pairs but 1 cluster -> CI is None
+    base = tmp_path / "heat_nc1_shots=0_seed=0"
+    for method, robs in (
+        ("full_pipeline", [0.5, 0.6, 0.7]),
+        ("to_python_two_step", [0.1, 0.2, 0.3]),
+    ):
+        d = base / method
+        d.mkdir(parents=True)
+        with open(d / "predictions.jsonl", "w") as f:
+            for rep, r in enumerate(robs):
+                f.write(json.dumps(
+                    {"nl": "p0", "repeat_id": rep, "robustness": r}
+                ) + "\n")
+    gains = controller_utility_gain(str(tmp_path))
+    g = gains["heat_nc1|shots=0"]
+    assert g["n_pairs"] == 3 and g["n_clusters"] == 1
+    assert g["clean_gain_ci95"] is None
+    assert "n/a" in format_utility_gain_table(gains)
+
+    # two examples x 2 repeats: 2 clusters -> a real CI bracketing the
+    # constant per-pair gain of +0.4
+    base2 = tmp_path / "heat_nc2_shots=0_seed=0"
+    for method, offs in (("full_pipeline", 0.4), ("to_python_two_step", 0.0)):
+        d = base2 / method
+        d.mkdir(parents=True)
+        with open(d / "predictions.jsonl", "w") as f:
+            for rep in range(2):
+                for i in range(2):
+                    f.write(json.dumps(
+                        {"nl": f"p{i}", "repeat_id": rep,
+                         "robustness": 0.1 * i + offs}
+                    ) + "\n")
+    g2 = controller_utility_gain(str(tmp_path))["heat_nc2|shots=0"]
+    assert g2["n_clusters"] == 2
+    lo, hi = g2["clean_gain_ci95"]
+    assert lo == pytest.approx(0.4) and hi == pytest.approx(0.4)
+
+
 def test_metric_stream_and_log_file(tmp_path):
     """Training runs must leave a plottable metrics.jsonl and per-step log
     lines in the run dir (VERDICT r2 weak #4: one-line logs)."""
