@@ -65,19 +65,24 @@ print(f"LoRA r=64 adapter: {n_lora / 1e6:.1f}M trainable params", flush=True)
 train_cfg = TrainConfig(grad_accum=ACCUM)
 init_fn, step_fn = make_sft_step(cfg, train_cfg, train_lora=True)
 opt_state = init_fn(params, lora)
-step = jax.jit(step_fn, donate_argnums=(1, 2))
+# donate params too (argnum 0): step_fn passes the frozen base through to
+# its outputs, and without input-output aliasing XLA materializes a fresh
+# 6.8 GiB copy of the int8 base per call — by the second dispatch three
+# copies are transiently alive and the 16 GiB chip OOMs.  The production
+# loop donates the whole carry for the same reason (train/loop.py:131).
+step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
 rng = np.random.default_rng(0)
 ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (ACCUM, 1, SEQ)), jnp.int32)
 labels = ids.at[:, :, : SEQ // 4].set(-100)  # prompt-masked prefix
 batch = {"input_ids": ids, "labels": labels}
 
-params_new, lora, opt_state, metrics = step(params, lora, opt_state, batch)
+params, lora, opt_state, metrics = step(params, lora, opt_state, batch)
 np.asarray(metrics["loss"])  # completion barrier (compile step)
 
 t0 = time.perf_counter()
 for _ in range(STEPS):
-    _, lora, opt_state, metrics = step(params, lora, opt_state, batch)
+    params, lora, opt_state, metrics = step(params, lora, opt_state, batch)
 loss = float(np.asarray(metrics["loss"]))
 dt = (time.perf_counter() - t0) / STEPS
 tok = ACCUM * SEQ

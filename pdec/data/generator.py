@@ -155,6 +155,54 @@ def render_example(example: GeneratedExample) -> Dict[str, str]:
     return {"nl": example.nl, "sstl": example.sstl, "python": example.python}
 
 
+def matched_problem(
+    rng: random.Random,
+    params: Dict,
+    n_clauses: int = 1,
+    allow_disjunction: bool = True,
+) -> GeneratedExample:
+    """Sample an example whose PHYSICS is pinned to ``params`` (a
+    ``pdec.data.nl.parse_nl_params`` dict) with a freshly-sampled spec.
+
+    This powers query-matched few-shot prompting: the round-4 audit
+    (``scripts/audit_two_shot.py``) measured the 57M coder copying the
+    few-shot examples' rod length into 53% of heat 2-shot generations
+    instead of binding the query's.  Shots that share the query's domain
+    parameters make parameter copying harmless by construction — the
+    copied value IS the query's value — while the spec (the part the model
+    must actually translate) stays distinct per shot."""
+    from pdec.data.nl import materials_from_params
+
+    kind = params["kind"]
+    length = float(params["length"])
+    g0 = float(params.get("g0", 0.0))
+    t_final = float(params["t_final"])
+    rho, elastic = materials_from_params(params)
+    clauses = [
+        _sample_clause(rng, kind, length, g0, t_final)
+        for _ in range(n_clauses)
+    ]
+    formula = _build_formula(rng, clauses, allow_disjunction)
+    program = program_from_formula(
+        kind=kind, n_elements=int(params["n_elements"]), length=length,
+        rho=rho, elastic=elastic, g0=g0 if kind == "heat" else 0.0,
+        dt=float(params["dt"]), t_final=t_final, formula=formula,
+    )
+    mats = {k: params[k] for k in
+            ("e_in", "e_out", "rho_in", "rho_out", "lo", "hi")}
+    if kind == "heat":
+        mats.update(c_in=params["c_in"], c_out=params["c_out"])
+    nl = render_nl(rng, program, formula, mats)
+    return GeneratedExample(
+        program=program,
+        formula=formula,
+        nl=nl,
+        sstl=format_sstl_latex(formula),
+        python=format_fem_program(program),
+        meta=dict(kind=kind, nc=n_clauses, matched=True, **mats),
+    )
+
+
 # ---------------------------------------------------------------------------
 # NL rendering: paraphrase-templated, mirroring the corpus style.
 # ---------------------------------------------------------------------------

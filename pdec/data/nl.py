@@ -207,33 +207,71 @@ def _fold_formula(clauses: List[Clause], junctions: List[str]) -> Formula:
     return formula
 
 
+def parse_nl_params(text: str) -> dict:
+    """Extract the physical/domain parameters (no spec) from a corpus NL
+    statement: everything needed to rebuild the problem's physics, in the
+    generator's ``mats`` vocabulary (``pdec.data.generator``).  Used both
+    by `parse_nl_problem` and by query-matched few-shot generation (shot
+    examples sharing the QUERY's physics so parameter copying is harmless
+    — the round-4 two-shot audit measured the 57M coder copying the
+    shots' rod length into 53% of 2-shot generations)."""
+    kind = _kind(text)
+    params = dict(
+        kind=kind,
+        length=_length(text),
+        dt=_dt(text),
+        t_final=_t_final(text),
+        n_elements=_n_elements(text),
+    )
+    lo, hi = _material_bounds(text)
+    if kind == "heat":
+        params.update(
+            g0=_boundary_temp(text),
+            e_in=_named_value(text, "E_a"),
+            e_out=_named_value(text, "E_b"),
+            rho_in=_named_value(text, r"rho_?a"),
+            rho_out=_named_value(text, r"rho_?b"),
+            c_in=_named_value(text, "c_a"),
+            c_out=_named_value(text, "c_b"),
+            lo=lo, hi=hi,
+        )
+    else:
+        params.update(
+            g0=0.0,
+            e_out=_named_value(text, "E_steel"),
+            e_in=_named_value(text, "E_brass"),
+            rho_out=_named_value(text, r"rho_?steel"),
+            rho_in=_named_value(text, r"rho_?brass"),
+            lo=lo, hi=hi,
+        )
+    return params
+
+
+def materials_from_params(params: dict) -> Tuple[Piecewise, Piecewise]:
+    """-> (rho, elastic) Piecewise fields from a `parse_nl_params` dict."""
+    lo, hi = params["lo"], params["hi"]
+    if params["kind"] == "heat":
+        rho = Piecewise(
+            outside=params["rho_out"] * params["c_out"],
+            inside=params["rho_in"] * params["c_in"], lo=lo, hi=hi)
+    else:
+        rho = Piecewise(
+            outside=params["rho_out"], inside=params["rho_in"], lo=lo, hi=hi)
+    elastic = Piecewise(
+        outside=params["e_out"], inside=params["e_in"], lo=lo, hi=hi)
+    return rho, elastic
+
+
 def parse_nl_problem(text: str) -> FemProgram:
     """Parse a corpus NL statement into the ground-truth `FemProgram`."""
-    kind = _kind(text)
-    length = _length(text)
-    dt = _dt(text)
-    t_final = _t_final(text)
-    n_el = _n_elements(text)
-    lo, hi = _material_bounds(text)
-
-    if kind == "heat":
-        g0 = _boundary_temp(text)
-        e_in = _named_value(text, "E_a")
-        e_out = _named_value(text, "E_b")
-        rho_in = _named_value(text, r"rho_?a")
-        rho_out = _named_value(text, r"rho_?b")
-        c_in = _named_value(text, "c_a")
-        c_out = _named_value(text, "c_b")
-        rho = Piecewise(outside=rho_out * c_out, inside=rho_in * c_in, lo=lo, hi=hi)
-        elastic = Piecewise(outside=e_out, inside=e_in, lo=lo, hi=hi)
-    else:
-        g0 = 0.0
-        e_out = _named_value(text, "E_steel")
-        e_in = _named_value(text, "E_brass")
-        rho_out = _named_value(text, r"rho_?steel")
-        rho_in = _named_value(text, r"rho_?brass")
-        rho = Piecewise(outside=rho_out, inside=rho_in, lo=lo, hi=hi)
-        elastic = Piecewise(outside=e_out, inside=e_in, lo=lo, hi=hi)
+    params = parse_nl_params(text)
+    kind = params["kind"]
+    length = params["length"]
+    dt = params["dt"]
+    t_final = params["t_final"]
+    n_el = params["n_elements"]
+    g0 = params["g0"]
+    rho, elastic = materials_from_params(params)
 
     clauses, junctions = _parse_clauses(text)
     formula = _fold_formula(clauses, junctions)

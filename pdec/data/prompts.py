@@ -183,12 +183,21 @@ class FewShotBank:
         shuffle: bool = False,
         seed: Optional[int] = None,
         test_side: bool = True,
+        matched: bool = False,
     ):
         if num_shots > MAX_SHOTS:
             raise ValueError("Only supports 0 up to 3 shots.")
         self.format = format
         self.num_shots = num_shots
         self.shuffle = shuffle
+        # matched: generate shots ON THE FLY whose physics parameters are
+        # parsed from the query NL (pdec.data.generator.matched_problem) —
+        # the spec differs per shot, the domain constants are the query's
+        # own, so shot-parameter copying (the measured round-4 2-shot
+        # failure mode) is harmless by construction.  Falls back to the
+        # static bank for queries whose NL does not parse.
+        self.matched = matched
+        self.seed = 0 if seed is None else seed
         self.rng = random.Random(seed)
         if bank_dir is None:
             bank_dir = os.path.join(os.path.dirname(__file__), "examples")
@@ -217,10 +226,40 @@ class FewShotBank:
             self.rng.shuffle(examples)
         return "".join(examples[: self.num_shots])
 
+    def _matched_prefix(self, nl: str) -> Optional[str]:
+        """Per-query shot prefix with the QUERY's physics (see __init__);
+        None when the query NL does not parse (caller falls back to the
+        static bank)."""
+        import zlib
+
+        from pdec.data.generator import matched_problem
+        from pdec.data.nl import parse_nl_params, parse_nl_problem
+        from pdec.stl.ast import formula_clauses
+
+        try:
+            params = parse_nl_params(nl)
+            nc = len(formula_clauses(parse_nl_problem(nl).formula))
+        except Exception:
+            return None
+        # deterministic per (bank seed, query): repeat samplings and
+        # resumed sweeps see identical prompts
+        rng = random.Random(f"{self.seed}:{zlib.crc32(nl.encode('utf-8'))}")
+        parts = []
+        for _ in range(self.num_shots):
+            ex = matched_problem(rng, params, n_clauses=min(nc, 3))
+            parts.append(
+                self._fmt(self.format, nl=ex.nl, sstl=ex.sstl,
+                          python=ex.python)
+            )
+        return "".join(parts)
+
     def format_prompt(self, nl: str, sstl: str = "", python: str = "") -> str:
-        return self.few_shot_prefix() + self._fmt(
-            self.format, nl, sstl, python
-        )
+        prefix = None
+        if self.matched and self.num_shots > 0:
+            prefix = self._matched_prefix(nl)
+        if prefix is None:
+            prefix = self.few_shot_prefix()
+        return prefix + self._fmt(self.format, nl, sstl, python)
 
     @staticmethod
     def stop_words() -> List[str]:

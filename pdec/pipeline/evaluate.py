@@ -118,6 +118,8 @@ class EvalDriver:
         eval_perplexity: bool = True,
         train_style_prompts: bool = False,
         chain_utility: bool = True,
+        gate_floor: float = 0.03,
+        matched_shots: bool = False,
     ):
         self.engines = engines
         self.prompt_dataset = prompt_dataset
@@ -131,6 +133,14 @@ class EvalDriver:
         self.do_edit = eval_edit_distance
         self.do_ppl = eval_perplexity
         self.chain_utility = chain_utility
+        # serve-gate noise floor: the measured multi-start synthesis
+        # jitter (round4_controller.sh --floor 0.03); interventions must
+        # beat identity by more than this to be accepted
+        self.gate_floor = gate_floor
+        # matched_shots: few-shot examples generated per query with the
+        # query's own physics parameters (FewShotBank(matched=True)) —
+        # the mitigation for the measured 2-shot parameter-copying defect
+        self.matched_shots = matched_shots
         # The reference's TEST prompt for nl_to_sstl inserts a
         # "Spatial Signal Temporal Logic:" scaffold line that its TRAIN
         # prompt does not (few_shot_test.py:27 vs few_shot_train.py:30).
@@ -149,9 +159,11 @@ class EvalDriver:
             return FewShotBank(
                 _TRAIN_STYLE_MAP[format], num_shots=shots, dataset=dataset,
                 bank_dir=self.bank_dir, test_side=False,
+                matched=self.matched_shots,
             )
         return FewShotBank(
             format, num_shots=shots, dataset=dataset, bank_dir=self.bank_dir,
+            matched=self.matched_shots,
         )
 
     def _generate(self, role: str, prompts: Sequence[str], seed: int):
@@ -239,7 +251,7 @@ class EvalDriver:
         # their sampling setup) must never be conflated in result tables
         metrics["prompt_style"] = (
             "train" if self.train_style_prompts else "reference"
-        )
+        ) + ("+matched_shots" if self.matched_shots else "")
         metrics["temperature"] = self.temperature
         metrics["n_repeat_sampling"] = self.n_repeat_sampling
         # serving-engine provenance: speculative vs plain decode must be
@@ -343,12 +355,16 @@ class EvalDriver:
             )
             inter_sstls = [extract_sstl_answer(g.text) for g in gens_ctl]
             fallbacks = [False] * len(nls)
+            gate_info: List[Optional[object]] = [None] * len(nls)
             if eval_method == "full_pipeline":
                 # reference 3-model shape (run_testing.sh:11-17): the
-                # translator's spec anchors a serve-time envelope gate —
-                # subgoals outside the controller's training-move support
-                # (pdec.stl.guard) fall back to the translated spec
-                from pdec.stl.guard import gate_subgoal
+                # translator's spec anchors a serve-time gate.  Structural
+                # screening (pdec.stl.guard) plus a batched chained-utility
+                # check (pdec.control.serve_gate): an intervention is
+                # accepted only when it beats the identity action by more
+                # than the synthesis noise floor, so the controller layer
+                # is provably non-harmful under the anchor objective.
+                from pdec.control.serve_gate import utility_gate_batch
 
                 bank_t = self._bank("nl_to_sstl", shots)
                 gens_t = self._generate(
@@ -356,12 +372,14 @@ class EvalDriver:
                     [bank_t.format_prompt(nl=n) for n in nls], seed,
                 )
                 base_sstls = [extract_sstl_answer(g.text) for g in gens_t]
-                gated = [
-                    gate_subgoal(b, c)
-                    for b, c in zip(base_sstls, inter_sstls)
-                ]
-                use_sstls = [g[0] for g in gated]
-                fallbacks = [g[1] for g in gated]
+                decisions = utility_gate_batch(
+                    nls, base_sstls, inter_sstls,
+                    floor_frac=self.gate_floor, config=self.synthesis,
+                    key=jax.random.PRNGKey(seed),
+                )
+                use_sstls = [d.sstl for d in decisions]
+                fallbacks = [d.fell_back for d in decisions]
+                gate_info = decisions
             else:
                 use_sstls = inter_sstls
             bank_c = self._bank("dpo_test_sstl_to_python", shots, dpo=True)
@@ -373,11 +391,16 @@ class EvalDriver:
                 ],
                 seed,
             )
-            for p, g, s, raw, fb in zip(
-                preds, gens, use_sstls, inter_sstls, fallbacks
+            for p, g, s, raw, fb, gi in zip(
+                preds, gens, use_sstls, inter_sstls, fallbacks, gate_info
             ):
                 p["predicted_intermediate_sstl"] = raw
                 p["gate_fallback"] = fb
+                if gi is not None:
+                    p["gate_reason"] = gi.reason
+                    if math.isfinite(gi.u_identity):
+                        p["gate_u_identity"] = gi.u_identity
+                        p["gate_u_candidate"] = gi.u_candidate
                 p["predicted_intermediate_python"] = extract_python_answer(g.text)
                 p["predicted_python"] = p["predicted_intermediate_python"]
                 p["predicted_sstl"] = s

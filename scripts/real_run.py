@@ -268,6 +268,7 @@ def stage_eval(args):
         # from-scratch models must see their exact training prompt format
         # (the reference's nl_to_sstl test scaffold diverges from train)
         train_style_prompts=not args.reference_prompts,
+        matched_shots=args.matched_shots,
     )
     dataset_paths = {
         name: os.path.join("datasets", "test", name, "test.jsonl")
@@ -388,6 +389,10 @@ def main(argv=None):
     p.add_argument("--reference-prompts", action="store_true",
                    help="use the reference's test-side prompt scaffold "
                         "verbatim (for imported pretrained checkpoints)")
+    p.add_argument("--matched-shots", action="store_true",
+                   help="generate few-shot examples per query with the "
+                        "query's own physics parameters (mitigates the "
+                        "measured 2-shot parameter-copying defect)")
     args = p.parse_args(argv)
 
     os.makedirs(args.root, exist_ok=True)

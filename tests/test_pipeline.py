@@ -78,6 +78,9 @@ def test_eval_driver_two_step(driver, items, tmp_path):
 def test_eval_driver_full_pipeline(driver, items):
     res = driver.run(items, eval_method="full_pipeline", shots=0, seed=0)
     assert all("predicted_intermediate_sstl" in p for p in res.predictions)
+    # the serve gate's decision is auditable per example
+    assert all("gate_fallback" in p and "gate_reason" in p
+               for p in res.predictions)
 
 
 def test_ground_truth_simulation(items, tmp_path):
