@@ -56,7 +56,7 @@ from pdec.control.synthesis import (
 from pdec.data.nl import parse_nl_problem
 from pdec.physics.problem import problems_from_programs, take_systems
 from pdec.stl.ast import Clause, Formula, compile_spec, formula_clauses, stack_specs
-from pdec.stl.guard import _junction_ops, same_structure
+from pdec.stl.guard import _junction_ops, decomposition_admissible, same_structure
 
 
 @dataclasses.dataclass
@@ -210,7 +210,14 @@ def utility_gate_batch(
         if _formulas_equal(base_f, cand_f):
             decisions[i] = GateDecision(base, False, "identity")
             continue
-        if not same_structure(base_f, cand_f):
+        if not (same_structure(base_f, cand_f)
+                or decomposition_admissible(base_f, cand_f)):
+            # admissible moves span the DPO training pool: numeric rewrites
+            # of the same structure, disjunct commitments, and structured
+            # decompositions (time-phase / setup-prefix / spatial-focus) —
+            # see ``propose_subgoals``.  Everything else is out of training
+            # support; the round-3 sweep measured such emissions as the
+            # entire catastrophic tail.
             decisions[i] = GateDecision(base, True, "structure_reject")
             continue
         try:

@@ -6,9 +6,9 @@ w_sstl, l_utility, l_time, l_sstl, dataset_class, pidx, nc}``, reference
 in-repo.  This module builds such pairs from scratch:
 
 1. for each problem, propose candidate *intermediate* SSTL subgoals
-   (perturbations of the GT spec: tightened/loosened profiles, shifted
-   windows, earlier deadlines — the kinds of subgoals the controller LLM is
-   trained to emit),
+   (``propose_subgoals``: disjunct commitments, time-phase / setup-prefix /
+   spatial-focus decompositions, plus numeric perturbations — the kinds of
+   subgoals the controller LLM is trained to emit),
 2. score each candidate's *utility*: synthesize the control that optimizes
    the candidate, then evaluate the achieved hard robustness against the
    ORIGINAL spec (two-stage evaluation — candidates only win by actually
@@ -88,6 +88,119 @@ def _replace_at(f: Formula, path: tuple, side: int) -> Formula:
     return (op, left, _replace_at(right, path[1:], side))
 
 
+def _clause_decompositions(c: Clause, t_final: float) -> List[Clause]:
+    """Structured DECOMPOSITION subgoals of one clause — the moves with
+    real oracle headroom (round-4 measurement, runs/real/oracle_headroom
+    .json: random numeric nudges cap capturable gain under 1% relative
+    because multi-start gradient synthesis already solves single-basin
+    problems; headroom lives in DISCRETE commitments the smooth optimizer
+    cannot make).  Three families, all "the paper's intermediate-reasoning
+    concept" (reference README.md:28):
+
+    - time-phase commitment: k narrow F-subwindows tiling [t0, t1] — for
+      oscillatory (wave) dynamics, WHICH moment the profile is reached is
+      a basin choice;
+    - setup prefix: reach the profile BEFORE the window opens (be there
+      at t0 rather than fighting the constraint mid-window);
+    - spatial focus: commit to a sub-region of [x0, x1] first.
+    """
+    from pdec.stl.ast import TEMP_F
+
+    out: List[Clause] = []
+    width = c.t1 - c.t0
+    if width > 1e-6:
+        k = 4
+        sub = width / k
+        for j in range(k):
+            a = c.t0 + j * sub
+            out.append(dataclasses.replace(
+                c, temporal_op=TEMP_F, t0=a, t1=a + sub))
+    if c.t0 > 1e-3 * max(t_final, 1e-9):
+        out.append(dataclasses.replace(
+            c, temporal_op=TEMP_F, t0=0.3 * c.t0, t1=c.t0))
+    xw = c.x1 - c.x0
+    if xw > 1e-6:
+        out.append(dataclasses.replace(
+            c, x0=c.x0 + 0.25 * xw, x1=c.x1 - 0.25 * xw))
+        out.append(dataclasses.replace(c, x1=c.x0 + 0.5 * xw))
+        out.append(dataclasses.replace(c, x0=c.x0 + 0.5 * xw))
+    return out
+
+
+def _clause_paths(f: Formula, path=()) -> List[tuple]:
+    """Pre-order paths to every clause leaf."""
+    if isinstance(f, Clause):
+        return [path]
+    _, left, right = f
+    return _clause_paths(left, path + (0,)) + _clause_paths(right, path + (1,))
+
+
+def _replace_clause_at(f: Formula, path: tuple, new: Clause) -> Formula:
+    if isinstance(f, Clause):
+        assert not path
+        return new
+    op, left, right = f
+    if path[0] == 0:
+        return (op, _replace_clause_at(left, path[1:], new), right)
+    return (op, left, _replace_clause_at(right, path[1:], new))
+
+
+def _formula_key(f: Formula) -> tuple:
+    if isinstance(f, Clause):
+        return ("c",) + tuple(
+            round(getattr(f, k), 9) if isinstance(getattr(f, k), float)
+            else getattr(f, k)
+            for k in ("temporal_op", "t0", "t1", "x0", "x1", "m", "b", "cmp")
+        )
+    op, left, right = f
+    return (op, _formula_key(left), _formula_key(right))
+
+
+def propose_subgoals(
+    rng: random.Random, f: Formula, t_final: float, n_candidates: int = 8,
+) -> List[Formula]:
+    """The round-5 candidate pool: ``[identity] + all disjunct commitments
+    + structured clause decompositions (shuffled) + random perturbation
+    fill``, deduplicated, truncated to ``n_candidates``.
+
+    Identity is ALWAYS candidate 0 (see `build_dpo_pairs`).  Disjunct
+    commitments come first because branch choice is the highest-headroom
+    move class — it is the gradient analogue of the reference MILP's
+    integer branching (SURVEY §7.3)."""
+    from pdec.stl.guard import _restrictions
+
+    cands: List[Formula] = [f]
+    seen = {_formula_key(f)}
+
+    def add(g: Formula) -> None:
+        k = _formula_key(g)
+        if k not in seen:
+            seen.add(k)
+            cands.append(g)
+
+    for variant in _restrictions(f):
+        add(variant)
+
+    decomp: List[Formula] = []
+    for path in _clause_paths(f):
+        node = f
+        for side in path:
+            node = node[1 + side]
+        for new_c in _clause_decompositions(node, t_final):
+            decomp.append(_replace_clause_at(f, path, new_c))
+    rng.shuffle(decomp)
+    for g in decomp:
+        if len(cands) >= n_candidates:
+            break
+        add(g)
+
+    guard = 0
+    while len(cands) < n_candidates and guard < 20 * n_candidates:
+        guard += 1
+        add(_perturb_formula(rng, f, t_final))
+    return cands[:n_candidates]
+
+
 def _perturb_formula(rng: random.Random, f: Formula, t_final: float) -> Formula:
     # Disjunct branching: commit to ONE side of an `or` — the gradient
     # analogue of the integer branching Gurobi's MILP does on disjunctions
@@ -164,9 +277,17 @@ def build_dpo_pairs(
     # unless a perturbation demonstrably helps the true objective.
     flat = []  # (ex_idx, formula)
     for i, ex in enumerate(examples):
-        flat.append((i, ex.formula))
-        for _ in range(max(n_candidates - 1, 1)):
-            flat.append((i, _perturb_formula(rng, ex.formula, ex.program.t_final)))
+        pool = propose_subgoals(
+            rng, ex.formula, ex.program.t_final,
+            n_candidates=max(n_candidates, 2),
+        )
+        # fixed slots per example (scoring reshapes assume a rectangular
+        # [example, candidate] layout): replicate identity into any slack
+        # left after dedup
+        while len(pool) < max(n_candidates, 2):
+            pool.append(ex.formula)
+        for cand in pool:
+            flat.append((i, cand))
 
     # group EXAMPLES by family; each example's system is built once and
     # gathered per candidate on device (the FEM lowering + eig, not the

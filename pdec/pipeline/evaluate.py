@@ -382,12 +382,31 @@ class EvalDriver:
                 gate_info = decisions
             else:
                 use_sstls = inter_sstls
-            bank_c = self._bank("dpo_test_sstl_to_python", shots, dpo=True)
+            # Coder prompt: the reference's ``dpo_test_sstl_to_python``
+            # instruction frames the SSTL as an *intermediate problem to
+            # optimize instead* (few_shot_prompting.py:56) — correct only
+            # when the gate actually intervened.  When it fell back (or the
+            # controller emitted the anchor verbatim) the spec handed over
+            # is the plain translation, and keeping the "intermediate"
+            # framing measurably degrades the coder: the round-5 b1 resweep
+            # put identity/fallback examples at a -0.24..-0.34 mean utility
+            # deficit vs the byte-identical no-controller arm on wave,
+            # which alone made every wave cell CI-negative.  Non-intervened
+            # examples therefore use the exact no-controller coder prompt
+            # (``test_nl_with_given_sstl_to_python``, the two_step arm's
+            # bank), making "do nothing" distributionally identical to the
+            # baseline; only real interventions carry the DPO framing.
+            intervened = [
+                gi is None or gi.reason in ("utility_accept", "no_anchor")
+                for gi in gate_info
+            ]
+            bank_dpo = self._bank("dpo_test_sstl_to_python", shots, dpo=True)
+            bank_id = self._bank("test_nl_with_given_sstl_to_python", shots)
             gens = self._generate(
                 "coder",
                 [
-                    bank_c.format_prompt(nl=n, sstl=s)
-                    for n, s in zip(nls, use_sstls)
+                    (bank_dpo if iv else bank_id).format_prompt(nl=n, sstl=s)
+                    for n, s, iv in zip(nls, use_sstls, intervened)
                 ],
                 seed,
             )

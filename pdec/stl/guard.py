@@ -153,6 +153,54 @@ def same_structure(base: Formula, cand: Formula) -> bool:
     )
 
 
+def _clause_decomposition_ok(base: Clause, cand: Clause) -> bool:
+    """True iff ``cand`` is a structured DECOMPOSITION of ``base`` — the
+    round-5 candidate-move classes (``dpo_datagen._clause_decompositions``):
+
+    - time-phase / setup-prefix commitment: an ``F`` clause whose window
+      ends no later than the base window (reach the profile at a chosen
+      moment, or before the base window opens);
+    - spatial focus: the same clause restricted to a sub-region.
+
+    The profile itself (slope/threshold/comparator) must be unchanged —
+    a decomposition commits WHERE/WHEN, never to a different objective.
+    Tolerances are formatting noise only (latex round-trip)."""
+    from pdec.stl.ast import TEMP_F
+
+    if cand.cmp != base.cmp:
+        return False
+    if abs(cand.b - base.b) > 1e-6 * (abs(base.b) + 1.0):
+        return False
+    if abs(cand.m - base.m) > 1e-6 * (abs(base.m) + 1e-3):
+        return False
+    # spatial focus: cand region inside the base region
+    xtol = _X_RTOL * (abs(base.x1 - base.x0) + 1.0)
+    if cand.x0 < base.x0 - xtol or cand.x1 > base.x1 + xtol:
+        return False
+    if cand.x1 <= cand.x0:
+        return False
+    if cand.t1 <= cand.t0:
+        return False
+    if cand.temporal_op != base.temporal_op and cand.temporal_op != TEMP_F:
+        return False
+    # committed window must not look past the base window's end
+    if cand.t1 > base.t1 * 1.02 + 1e-9:
+        return False
+    return True
+
+
+def decomposition_admissible(base: Formula, cand: Formula) -> bool:
+    """True iff ``cand`` is a disjunct-commitment of ``base`` with each
+    clause either numerically identical (up to formatting noise) or a
+    structured decomposition of its counterpart (see
+    ``_clause_decomposition_ok``).  Together with ``same_structure`` this
+    spans the round-5 DPO candidate pool (``dpo_datagen.propose_subgoals``),
+    so a controller trained on that pool can deploy every move class it
+    learned; the serve-time UTILITY gate (``pdec.control.serve_gate``)
+    remains the safety mechanism for all structurally-admissible moves."""
+    return _match_against_restrictions(base, cand, _clause_decomposition_ok)
+
+
 def gate_subgoal(
     base_sstl: str, cand_sstl: str, numeric_envelope: bool = False,
 ) -> Tuple[str, bool]:

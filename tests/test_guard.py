@@ -95,6 +95,41 @@ def test_comparator_or_temporal_change_fails():
     )
 
 
+def test_decomposition_moves_admissible():
+    # the round-5 candidate pool's structured decompositions must pass the
+    # serve gate's structural screen (training support ⊆ deployable moves)
+    from pdec.pipeline.dpo_datagen import _clause_decompositions, propose_subgoals
+    from pdec.stl.guard import decomposition_admissible, same_structure
+
+    f = _clause(time_interval=(0.8, 1.6))
+    for cand in _clause_decompositions(f, t_final=2.5):
+        assert decomposition_admissible(f, cand), cand
+    # inside a junction, composed with a disjunct commitment
+    g = ("and", f, ("or", _clause(b=3.0), _clause(temporal_op="F")))
+    for cand in _clause_decompositions(f, t_final=2.5):
+        assert decomposition_admissible(
+            g, ("and", cand, ("or", _clause(b=3.0), _clause(temporal_op="F"))))
+        # composed with a disjunct commitment of the `or`
+        assert decomposition_admissible(g, ("and", cand, _clause(b=3.0)))
+    # a decomposition never changes the profile: threshold/slope moves fail
+    assert not decomposition_admissible(
+        f, dataclasses.replace(f, temporal_op="F", t0=0.9, t1=1.1, b=f.b - 1.0))
+    # nor looks past the base window's end
+    assert not decomposition_admissible(
+        f, dataclasses.replace(f, temporal_op="F", t0=1.5, t1=2.4))
+    # nor moves outside the spatial region
+    assert not decomposition_admissible(
+        f, dataclasses.replace(f, x0=5.0, x1=20.0))
+    # EVERY candidate propose_subgoals can emit is structurally deployable
+    rng = random.Random(1)
+    for seed in range(5):
+        rng = random.Random(seed)
+        pool = propose_subgoals(rng, g, t_final=2.5, n_candidates=12)
+        assert pool[0] == g
+        for cand in pool:
+            assert same_structure(g, cand) or decomposition_admissible(g, cand), cand
+
+
 def test_gate_subgoal_strings():
     from pdec.stl.guard import same_structure
 

@@ -83,6 +83,79 @@ def test_eval_driver_full_pipeline(driver, items):
                for p in res.predictions)
 
 
+def test_full_pipeline_fallback_uses_no_controller_prompt(items):
+    """Non-intervened examples must get the EXACT no-controller coder
+    prompt: the round-5 b1 resweep measured the 'intermediate problem'
+    framing (dpo_test_sstl_to_python) costing identity/fallback examples
+    -0.24..-0.34 utility vs the byte-identical baseline arm on wave."""
+    import dataclasses as dc
+
+    from pdec.infer.engine import Generation
+    from pdec.stl.ast import Clause
+    from pdec.stl.parse_latex import format_sstl_latex, parse_sstl_latex
+
+    class Canned:
+        def __init__(self, texts=None):
+            self.texts = texts
+            self.prompts = []
+
+        def generate(self, prompts, cfg):
+            self.prompts.append(list(prompts))
+            texts = self.texts or ["gibberish"] * len(prompts)
+            return [Generation(t, [1], None, "stop") for t in texts]
+
+    its = list(items)[:3]
+    anchors = [it["sstl"] for it in its]
+    # ex0: identity emission; ex1: unparseable; ex2: clause-count change
+    ctl_texts = [
+        anchors[0] + "\n```",
+        "not { latex",
+        format_sstl_latex(("and", parse_sstl_latex(anchors[2]),
+                           parse_sstl_latex(anchors[2]))) + "\n```",
+    ]
+    translator = Canned([a + "\n```" for a in anchors])
+    controller = Canned(ctl_texts)
+    coder = Canned()
+    driver2 = EvalDriver(
+        {"translator": translator, "controller": controller, "coder": coder},
+        synthesis=FAST_SYNTH, max_new_tokens=8, temperature=0.0,
+    )
+    res = driver2.run(its, eval_method="full_pipeline", shots=0, seed=0)
+    reasons = [p["gate_reason"] for p in res.predictions]
+    assert reasons == ["identity", "cand_unparseable", "structure_reject"]
+    coder_prompts = coder.prompts[0]
+    for p in coder_prompts:
+        # all three fell back -> the two_step arm's instruction, verbatim
+        assert "there may be mistakes" in p
+        assert "intermediate problem" not in p
+    # and a structurally-admissible DECOMPOSITION gets utility-scored
+    # (widened screen): an F-subwindow commitment of the anchor clause
+    def first_clause(f):
+        while not isinstance(f, Clause):
+            f = f[1]
+        return f
+
+    cl = first_clause(parse_sstl_latex(anchors[0]))
+    from pdec.stl.ast import TEMP_F
+    sub = dc.replace(cl, temporal_op=TEMP_F,
+                     t0=cl.t0, t1=cl.t0 + 0.25 * (cl.t1 - cl.t0))
+    controller2 = Canned([format_sstl_latex(sub) + "\n```"])
+    coder2 = Canned()
+    driver3 = EvalDriver(
+        {"translator": Canned([anchors[0] + "\n```"]),
+         "controller": controller2, "coder": coder2},
+        synthesis=FAST_SYNTH, max_new_tokens=8, temperature=0.0,
+    )
+    res3 = driver3.run(its[:1], eval_method="full_pipeline", shots=0, seed=0)
+    assert res3.predictions[0]["gate_reason"] in (
+        "utility_accept", "utility_reject")
+    p3 = coder2.prompts[0][0]
+    if res3.predictions[0]["gate_reason"] == "utility_accept":
+        assert "intermediate problem" in p3
+    else:
+        assert "there may be mistakes" in p3
+
+
 def test_ground_truth_simulation(items, tmp_path):
     out = os.path.join(str(tmp_path), "labeled.jsonl")
     labeled, metrics = simulate_ground_truth(
