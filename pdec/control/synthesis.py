@@ -444,12 +444,29 @@ def synthesize_batch(
     max_steps: int,
     config: SynthesisConfig = SynthesisConfig(),
     init_knots=None,
+    lane_salts=None,
 ) -> SynthesisResult:
     """Batched synthesis: all leaves of ``systems`` carry a leading batch dim
     (same family => same shapes), ``clauses``/``programs`` are stacked specs.
-    ``init_knots``: optional ``[batch, n_chunks]`` per-problem warm starts."""
+    ``init_knots``: optional ``[batch, n_chunks]`` per-problem warm starts.
+
+    ``lane_salts``: optional int32 ``[batch]``.  Default lane keys come from
+    ``jax.random.split`` and therefore depend on the lane's POSITION in the
+    batch — the same problem scored in two different batch compositions
+    draws different multi-start portfolios, which on multi-basin (wave)
+    specs lands in different optima run-to-run.  The reference's oracle has
+    no such freedom: Gurobi is deterministic, and the protocol's
+    ``robustness accuracy`` metric (rel_tol=1e-3 vs the GT label,
+    ``eval_script.py:25-30``) presumes it — measured on the BASE sweep,
+    byte-identical wave programs reproduce their own GT label only ~5% of
+    the time under position keys.  Passing content-derived salts
+    (``pdec.eval.robustness.program_salt``) pins each lane's randomness to
+    the PROBLEM, making scoring batch-invariant and reproducible."""
     batch = clauses.shape[0]
-    keys = jax.random.split(key, batch)
+    if lane_salts is None:
+        keys = jax.random.split(key, batch)
+    else:
+        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(lane_salts)
 
     # n_out is static metadata, so axis 0 maps cleanly over all array leaves.
     if init_knots is None:

@@ -70,6 +70,67 @@ def _synthesize_warm(systems, clauses, programs, key, warm, *, max_steps,
 _synthesize_warm_jit = jax.jit(
     _synthesize_warm, static_argnames=("max_steps", "config")
 )
+
+
+def _synthesize_salted(systems, clauses, programs, key, salts, *, max_steps,
+                       config):
+    return synthesize_batch(
+        systems, clauses, programs, key, max_steps, config, lane_salts=salts
+    )
+
+
+_synthesize_salted_jit = jax.jit(
+    _synthesize_salted, static_argnames=("max_steps", "config")
+)
+
+
+def _synthesize_warm_salted(systems, clauses, programs, key, warm, salts, *,
+                            max_steps, config):
+    return synthesize_batch(
+        systems, clauses, programs, key, max_steps, config,
+        init_knots=warm, lane_salts=salts,
+    )
+
+
+_synthesize_warm_salted_jit = jax.jit(
+    _synthesize_warm_salted, static_argnames=("max_steps", "config")
+)
+
+
+def program_salt(prog: FemProgram, formula=None) -> int:
+    """Content-derived PRNG salt: a stable int32 identifying the synthesis
+    PROBLEM (physics + spec), independent of source-text formatting and of
+    batch position.  Two programs that parse to the same problem score
+    identically under salted synthesis (``synthesize_batch`` lane_salts) —
+    the determinism the reference gets for free from Gurobi and that the
+    protocol's ``robustness accuracy`` metric presumes."""
+    import zlib
+
+    from pdec.stl.ast import formula_clauses
+
+    f = formula if formula is not None else prog.formula
+    parts = [
+        prog.kind, prog.n_elements,
+        round(prog.length, 9), round(prog.dt, 9), round(prog.t_final, 9),
+        None if prog.g0 is None else round(prog.g0, 9),
+        None if prog.g1 is None else round(prog.g1, 9),
+    ]
+    for pw in (prog.rho, prog.elastic):
+        parts += [round(pw.outside, 9), round(pw.inside, 9),
+                  round(pw.lo, 9), round(pw.hi, 9)]
+
+    def keyf(g):
+        from pdec.stl.ast import Clause
+
+        if isinstance(g, Clause):
+            return ("c", g.temporal_op, g.cmp,
+                    round(g.t0, 9), round(g.t1, 9),
+                    round(g.x0, 9), round(g.x1, 9),
+                    round(g.m, 9), round(g.b, 9))
+        return (g[0], keyf(g[1]), keyf(g[2]))
+
+    parts.append(keyf(f))
+    return zlib.crc32(repr(parts).encode()) & 0x7FFFFFFF
 _score_jit = jax.jit(
     jax.vmap(evaluate_controls, in_axes=(0, 0, 0, 0, None, None)),
     static_argnums=(4, 5),
@@ -105,6 +166,7 @@ def eval_robustness_batch(
     bucket_granularity: int = 64,
     chain: bool = False,
     return_both: bool = False,
+    deterministic_keys: bool = False,
 ) -> List[Tuple[Scalar, ...]]:
     """Synthesize + score a batch of coder-dialect programs.
 
@@ -228,7 +290,7 @@ def eval_robustness_batch(
             try:
                 stacked = problems_from_programs(c_progs, max_steps=bucket)
             except Exception:
-                systems, f_specs, f_score, f_idxs = [], [], [], []
+                systems, f_progs, f_specs, f_score, f_idxs = [], [], [], [], []
                 for j in range(n_real):
                     try:
                         systems.append(
@@ -236,6 +298,7 @@ def eval_robustness_batch(
                                                  max_steps=bucket))
                     except Exception:
                         continue
+                    f_progs.append(c_progs[j])
                     f_specs.append(c_specs[j])
                     f_score.append(c_score[j])
                     f_idxs.append(c_idxs[j])
@@ -245,17 +308,31 @@ def eval_robustness_batch(
                 n_pad = max(1 << (n_real - 1).bit_length(), 8)
                 while len(systems) < n_pad:
                     systems.append(systems[0])
+                    f_progs.append(f_progs[0])
                     f_specs.append(f_specs[0])
                     f_score.append(f_score[0])
                 stacked = stack_systems(systems)
-                c_specs, c_score, c_idxs = f_specs, f_score, f_idxs
+                c_progs, c_specs, c_score, c_idxs = (
+                    f_progs, f_specs, f_score, f_idxs)
 
             cl, pr = stack_specs(c_specs)
-            synth_args = (stacked, jnp.asarray(cl), jnp.asarray(pr), key)
-            synth_fn = _compiled(
-                _synthesize_jit, (bucket, cfg), synth_args,
-                dict(max_steps=bucket, config=cfg),
-            )
+            salts = None
+            if deterministic_keys:
+                salts = jnp.asarray(
+                    [program_salt(p) for p in c_progs], dtype=jnp.int32)
+            if salts is None:
+                synth_args = (stacked, jnp.asarray(cl), jnp.asarray(pr), key)
+                synth_fn = _compiled(
+                    _synthesize_jit, (bucket, cfg), synth_args,
+                    dict(max_steps=bucket, config=cfg),
+                )
+            else:
+                synth_args = (
+                    stacked, jnp.asarray(cl), jnp.asarray(pr), key, salts)
+                synth_fn = _compiled(
+                    _synthesize_salted_jit, (bucket, cfg, "salted"),
+                    synth_args, dict(max_steps=bucket, config=cfg),
+                )
             t_start = time.perf_counter()
             res = synth_fn(*synth_args)
 
@@ -264,14 +341,25 @@ def eval_robustness_batch(
                 # Phase B: re-optimize the GT spec warm-started from phase
                 # A's optimum (see docstring); hard robustness is on GT.
                 cl_s, pr_s = stack_specs(c_score)
-                warm_args = (
-                    stacked, jnp.asarray(cl_s), jnp.asarray(pr_s),
-                    jax.random.fold_in(key, 1), res.knots,
-                )
-                warm_fn = _compiled(
-                    _synthesize_warm_jit, (bucket, cfg, "chain"),
-                    warm_args, dict(max_steps=bucket, config=cfg),
-                )
+                if salts is None:
+                    warm_args = (
+                        stacked, jnp.asarray(cl_s), jnp.asarray(pr_s),
+                        jax.random.fold_in(key, 1), res.knots,
+                    )
+                    warm_fn = _compiled(
+                        _synthesize_warm_jit, (bucket, cfg, "chain"),
+                        warm_args, dict(max_steps=bucket, config=cfg),
+                    )
+                else:
+                    warm_args = (
+                        stacked, jnp.asarray(cl_s), jnp.asarray(pr_s),
+                        jax.random.fold_in(key, 1), res.knots, salts,
+                    )
+                    warm_fn = _compiled(
+                        _synthesize_warm_salted_jit,
+                        (bucket, cfg, "chain-salted"),
+                        warm_args, dict(max_steps=bucket, config=cfg),
+                    )
                 chained = warm_fn(*warm_args).robustness
                 if return_both:
                     # plain rescore from the SAME phase-A result

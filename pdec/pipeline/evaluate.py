@@ -120,6 +120,7 @@ class EvalDriver:
         chain_utility: bool = True,
         gate_floor: float = 0.03,
         matched_shots: bool = False,
+        deterministic_keys: bool = False,
     ):
         self.engines = engines
         self.prompt_dataset = prompt_dataset
@@ -141,6 +142,12 @@ class EvalDriver:
         # query's own physics parameters (FewShotBank(matched=True)) —
         # the mitigation for the measured 2-shot parameter-copying defect
         self.matched_shots = matched_shots
+        # deterministic_keys: content-derived per-problem synthesis salts
+        # (pdec.eval.robustness.program_salt) so the robustness oracle is
+        # batch-invariant and reproducible, like the reference's Gurobi.
+        # Meaningful only against GT labels produced under the SAME oracle
+        # procedure (config + salted keys) — see scripts/label_eval_suite.
+        self.deterministic_keys = deterministic_keys
         # The reference's TEST prompt for nl_to_sstl inserts a
         # "Spatial Signal Temporal Logic:" scaffold line that its TRAIN
         # prompt does not (few_shot_test.py:27 vs few_shot_train.py:30).
@@ -531,6 +538,7 @@ class EvalDriver:
                 codes, key=jax.random.PRNGKey(0), config=self.synthesis,
                 gt_formulas=gt_formulas, chain=self.chain_utility,
                 return_both=self.chain_utility,
+                deterministic_keys=self.deterministic_keys,
             )
             rob_acc, mres, time_mres = [], [], []
             chained_vals = []

@@ -27,6 +27,7 @@ def simulate_ground_truth(
     seed: int = 0,
     max_num_examples: Optional[int] = None,
     out_path: Optional[str] = None,
+    deterministic_keys: bool = False,
 ):
     """Label ``items`` with ground-truth robustness via batched synthesis.
 
@@ -38,7 +39,8 @@ def simulate_ground_truth(
 
     codes = [r.get(python_key, "") for r in rows]
     results = eval_robustness_batch(
-        codes, key=jax.random.PRNGKey(seed), config=synthesis
+        codes, key=jax.random.PRNGKey(seed), config=synthesis,
+        deterministic_keys=deterministic_keys,
     )
 
     labeled = []

@@ -269,6 +269,7 @@ def stage_eval(args):
         # (the reference's nl_to_sstl test scaffold diverges from train)
         train_style_prompts=not args.reference_prompts,
         matched_shots=args.matched_shots,
+        deterministic_keys=args.deterministic_keys,
     )
     dataset_paths = {
         name: os.path.join("datasets", "test", name, "test.jsonl")
@@ -306,6 +307,7 @@ def stage_rescore(args):
         temperature=args.temperature,
         n_repeat_sampling=args.repeats,
         train_style_prompts=not args.reference_prompts,
+        deterministic_keys=args.deterministic_keys,
     )
     out_dir = os.path.join(args.root, "eval")
     for name in args.datasets:
@@ -389,6 +391,11 @@ def main(argv=None):
     p.add_argument("--reference-prompts", action="store_true",
                    help="use the reference's test-side prompt scaffold "
                         "verbatim (for imported pretrained checkpoints)")
+    p.add_argument("--deterministic-keys", action="store_true",
+                   help="content-derived per-problem synthesis salts: the "
+                        "robustness oracle becomes batch-invariant and "
+                        "reproducible (Gurobi-like); use with GT labels "
+                        "produced under the same oracle procedure")
     p.add_argument("--matched-shots", action="store_true",
                    help="generate few-shot examples per query with the "
                         "query's own physics parameters (mitigates the "

@@ -56,6 +56,42 @@ def test_mixed_batch():
     assert abs(out[0][0] - out[2][0]) < 0.5
 
 
+def test_deterministic_keys_batch_invariant():
+    """Content-derived salts make the oracle batch-invariant: the same
+    program scores IDENTICALLY regardless of batch composition/position —
+    the determinism the reference gets from Gurobi and that the protocol's
+    ``robustness accuracy`` (rel_tol=1e-3 vs the GT label) presumes."""
+    import dataclasses
+
+    from pdec.stl.program import parse_fem_program
+    from pdec.eval.robustness import program_salt
+
+    alone = eval_robustness_batch(
+        [HEAT_PROGRAM], key=jax.random.PRNGKey(0), config=FAST,
+        deterministic_keys=True,
+    )[0][0]
+    # shifted position, mixed with a failure and duplicates
+    crowd = eval_robustness_batch(
+        ["garbage", HEAT_PROGRAM, HEAT_PROGRAM, "garbage", HEAT_PROGRAM],
+        key=jax.random.PRNGKey(0), config=FAST, deterministic_keys=True,
+    )
+    for i in (1, 2, 4):
+        assert crowd[i][0] == alone
+    # exact reproduction across calls (labeling -> rescoring)
+    again = eval_robustness_batch(
+        [HEAT_PROGRAM], key=jax.random.PRNGKey(0), config=FAST,
+        deterministic_keys=True,
+    )[0][0]
+    assert again == alone
+    # the salt is content-derived: formatting noise doesn't change it,
+    # a physics change does
+    prog = parse_fem_program(HEAT_PROGRAM)
+    assert program_salt(prog) == program_salt(
+        parse_fem_program(HEAT_PROGRAM + "\n# comment\n"))
+    assert program_salt(prog) != program_salt(
+        dataclasses.replace(prog, length=prog.length * 1.1))
+
+
 def test_family_bucket_padding_is_masked():
     """Horizon quantization (FAMILY_BUCKET) must not change hard robustness.
 
