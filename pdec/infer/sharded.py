@@ -39,9 +39,20 @@ from pdec.models.transformer import forward, init_kv_cache
 
 
 def _is_hbm_oom(e: Exception) -> bool:
-    """True for XLA device out-of-memory failures (and nothing else)."""
+    """True for XLA device out-of-memory failures (and nothing else).
+
+    Covers both RUNTIME allocation failures (RESOURCE_EXHAUSTED) and
+    COMPILE-time permanent OOM — XLA:TPU rejects a program whose live-range
+    peak exceeds HBM with an INTERNAL 'Ran out of memory in memory space
+    hbm' compile error (observed on long matched-shot 2-shot wave prompts:
+    25.3G requested on a 15.75G chip), which the batch-halving self-heal
+    must also catch."""
     msg = str(e)
-    return "RESOURCE_EXHAUSTED" in msg or "Resource exhausted" in msg
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Resource exhausted" in msg
+        or "Ran out of memory in memory space" in msg
+    )
 
 
 def cache_shardings(mesh: Mesh):

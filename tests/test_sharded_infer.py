@@ -237,3 +237,24 @@ def test_oom_fallback_halves_batch(mesh, tiny_setup, monkeypatch):
     monkeypatch.setattr(ShardedEngine, "_generate_batch", always)
     with pytest.raises(ValueError):
         eng2.generate(prompts, gen)
+
+    # XLA:TPU compile-time permanent OOM (long-prompt cells exceed the HBM
+    # live-range peak at lowering, before any allocation happens) must
+    # self-heal identically to runtime RESOURCE_EXHAUSTED
+    eng3 = ShardedEngine(sharded, TINY, tok, mesh, max_len=64,
+                         prefix_cache=False)
+    calls["n"] = 0
+
+    def compile_oom(self, ps, g):
+        calls["n"] += 1
+        if len(ps) > 1 and calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: HTTP 500: tpu_compile_helper: XLA:TPU compile "
+                "permanent error. Ran out of memory in memory space hbm. "
+                "Used 25.35G of 15.75G hbm.")
+        return real(self, ps, g)
+
+    monkeypatch.setattr(ShardedEngine, "_generate_batch", compile_oom)
+    got3 = eng3.generate(prompts, gen)
+    assert calls["n"] == 3
+    assert [g.token_ids for g in got3] == [w.token_ids for w in want]
