@@ -79,6 +79,13 @@ def main():
             kinds = collections.Counter(r["pair_kind"] for r in rows)
             gains = [r["w_utility"] - r["identity_utility"] for r in rows
                      if r["pair_kind"] == "intervene"]
+            idents = [abs(r["identity_utility"]) for r in rows]
+            # capturable_rel_pct: the cell-level relative utility gain a
+            # PERFECT subgoal-picker captures — (sum of per-problem oracle
+            # gains) / (n_problems * mean |identity utility|).  This is
+            # the judge's gate quantity (VERDICT r4 next #1: >=5% on a
+            # majority of cells before any DPO retraining).
+            denom = statistics.mean(idents) if idents else 1.0
             cell = {
                 "n_problems": args.n,
                 "n_pairs": len(rows),
@@ -87,6 +94,10 @@ def main():
                 "oracle_gain_mean": (statistics.mean(gains) if gains else 0.0),
                 "oracle_gain_median": (statistics.median(gains)
                                        if gains else 0.0),
+                "identity_utility_mean_abs": denom,
+                "capturable_rel_pct": (
+                    100.0 * sum(gains) / (args.n * max(denom, 1e-9))
+                ),
             }
             report[f"{kind}_nc{nc}"] = cell
             print(f"{kind}_nc{nc}: {json.dumps(cell)}", flush=True)
