@@ -103,12 +103,12 @@ def main():
         f"wave_nc{k}_512_shots={s}_seed=0" for k in (1, 2, 3) for s in (0, 2)
     ] + ["heat_nc1_512_shots=0_seed=0"]
     method = os.environ.get("METHOD", "to_python_two_step")
+    root = os.environ.get("ROOT", "runs/real/eval")
     out = {}
     for cell in cells:
         ds = cell.split("_shots")[0]
         test_path = os.path.join("datasets", "test", ds, "test.jsonl")
-        pred_path = os.path.join(
-            "runs/real/eval", cell, method, "predictions.jsonl")
+        pred_path = os.path.join(root, cell, method, "predictions.jsonl")
         if not (os.path.exists(test_path) and os.path.exists(pred_path)):
             print(f"{cell}: missing files, skipped")
             continue
@@ -145,7 +145,7 @@ def main():
             acc = row["accuracy_by_class"].get(k)
             print(f"  {k:18s} {v:5d} ({100*v/n:5.1f}%)"
                   + (f"  acc={acc:.3f}" if acc is not None else ""))
-    path = "runs/real/eval/results/wave_defect_classes.json"
+    path = os.path.join(root, "results", "wave_defect_classes.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
