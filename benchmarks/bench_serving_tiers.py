@@ -36,8 +36,8 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "runs/real"
 PRESET = sys.argv[2] if len(sys.argv) > 2 else "BASE"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-MAX_NEW = 256
-MAX_LEN = 1024
+MAX_NEW = int(os.environ.get("MAX_NEW", 256))
+MAX_LEN = int(os.environ.get("MAX_LEN", 1024))
 
 import pdec.models.config as model_configs
 from pdec.cpp.tokenizer import NativeBPETokenizer
