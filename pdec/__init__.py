@@ -52,6 +52,19 @@ def _configure_jax_cache():
     try:
         import jax
 
+        # NEVER enable the persistent cache for CPU runs: XLA:CPU AOT
+        # executables bake in the compile host's ISA features, and this
+        # VM migrates between host generations across sessions —
+        # deserializing an entry written on a different host segfaults
+        # inside compilation_cache.get_executable_and_time (reproduced on
+        # three full test-suite runs, round 5; the crash site is a
+        # poisoned .jax_cache entry hit by tests/test_train.py's sharded
+        # pjit).  TPU executables are serialized by the device backend
+        # and are host-independent, so the cache stays on there — it is
+        # what makes tunnel recompiles tolerable.
+        plats = (_os.environ.get("JAX_PLATFORMS") or "").lower()
+        if "cpu" in plats.replace(";", ",").split(","):
+            return
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - jax absent or too old
