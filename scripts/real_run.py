@@ -225,15 +225,31 @@ def stage_eval(args):
         name, _, path = spec.partition("=")
         if name == "controller":
             controller_dir = path
-    if os.path.isdir(controller_dir):
-        roles.append("controller")
+    # the controller is an optional role: load it only when a usable
+    # checkpoint exists AND a controller method will actually run (an
+    # explicit --methods without full_pipeline/reasoning_only must not
+    # fail on a missing/uncommitted controller checkpoint)
+    controller_methods = ("full_pipeline", "reasoning_only")
+    from pdec.runtime.checkpoint import CheckpointManager
+
+    has_controller = (
+        os.path.isdir(controller_dir)
+        and CheckpointManager(controller_dir).find_latest() is not None
+    )
+    if has_controller:
         # augment the DEFAULT method list with the controller methods; an
         # explicit --methods selection (e.g. the phased round-3 sweep) is
         # honored verbatim
         if args.methods == EVAL_METHODS:
-            for m in ("full_pipeline", "reasoning_only"):
+            for m in controller_methods:
                 if m not in methods:
                     methods.append(m)
+        if any(m in controller_methods for m in methods):
+            roles.append("controller")
+    elif any(m in controller_methods for m in methods):
+        raise SystemExit(
+            f"methods {methods} need a controller checkpoint, none under "
+            f"{controller_dir}")
     engines = {}
     draft = None
     if args.speculative:
