@@ -332,7 +332,17 @@ def stage_rescore(args):
             args.eval_max,
         )
         for shots in args.shots:
-            for method in args.methods:
+            methods = args.methods
+            if args.methods == EVAL_METHODS:
+                # default selection: rescore every method that actually
+                # has cached predictions for this combo (EVAL_METHODS
+                # omits the controller methods, but their cached cells
+                # must pick up metric/oracle upgrades too)
+                combo_dir = os.path.join(
+                    out_dir, f"{name}_shots={shots}_seed={args.seed}")
+                if os.path.isdir(combo_dir):
+                    methods = sorted(os.listdir(combo_dir))
+            for method in methods:
                 run_dir = os.path.join(
                     out_dir, f"{name}_shots={shots}_seed={args.seed}", method
                 )
