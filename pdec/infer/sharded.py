@@ -46,12 +46,22 @@ def _is_hbm_oom(e: Exception) -> bool:
     peak exceeds HBM with an INTERNAL 'Ran out of memory in memory space
     hbm' compile error (observed on long matched-shot 2-shot wave prompts:
     25.3G requested on a 15.75G chip), which the batch-halving self-heal
-    must also catch."""
+    must also catch.
+
+    The device tunnel's REMOTE compile path hides that text: the OOM is
+    printed only in the tunnel terminal's log and the Python exception is
+    an opaque ``INTERNAL: .../remote_compile: HTTP 500: tpu_compile_helper
+    subprocess exit code 1`` (observed on the same matched wave cell).
+    Treat tunnel remote-compile 500s as OOM-suspect: the halving recursion
+    is bounded (stops at batch 1), so a genuinely non-OOM compile failure
+    still surfaces to the caller after log2(batch) cheap-at-small-batch
+    retries, while the common data-dependent case recovers."""
     msg = str(e)
     return (
         "RESOURCE_EXHAUSTED" in msg
         or "Resource exhausted" in msg
         or "Ran out of memory in memory space" in msg
+        or ("remote_compile" in msg and "HTTP 500" in msg)
     )
 
 

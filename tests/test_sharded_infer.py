@@ -258,3 +258,24 @@ def test_oom_fallback_halves_batch(mesh, tiny_setup, monkeypatch):
     got3 = eng3.generate(prompts, gen)
     assert calls["n"] == 3
     assert [g.token_ids for g in got3] == [w.token_ids for w in want]
+
+    # the device tunnel's REMOTE compile path swallows the OOM text: the
+    # Python-visible exception is only an opaque remote_compile HTTP 500
+    # (the 'Ran out of memory' line goes to the tunnel terminal's log).
+    # Measured on the matched wave_nc1 2-shot cell; must self-heal too.
+    eng4 = ShardedEngine(sharded, TINY, tok, mesh, max_len=64,
+                         prefix_cache=False)
+    calls["n"] = 0
+
+    def tunnel_500(self, ps, g):
+        calls["n"] += 1
+        if len(ps) > 1 and calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP "
+                "500: tpu_compile_helper subprocess exit code 1")
+        return real(self, ps, g)
+
+    monkeypatch.setattr(ShardedEngine, "_generate_batch", tunnel_500)
+    got4 = eng4.generate(prompts, gen)
+    assert calls["n"] == 3
+    assert [g.token_ids for g in got4] == [w.token_ids for w in want]
