@@ -75,7 +75,9 @@ def decode_step_paged(params, lora, tokens, pool_k, pool_v, block_tables,
                       lengths, cfg: ModelConfig, block_size: int):
     """One decode token per slot against the paged pool.
 
-    tokens: [S] previous token ids.  pool_k/v: [L, NB, B, Hkv, D].
+    tokens: [S] previous token ids.  pool_k/v: [L, NB, Hkv, B, D]
+    (kv-heads before tokens — the Pallas kernel's TPU tiling contract,
+    see pdec.ops.paged_attention).
     block_tables: [S, maxP].  lengths: [S] tokens already in the cache.
     Returns (logits [S, V], pool_k, pool_v).
     """
@@ -109,8 +111,11 @@ def decode_step_paged(params, lora, tokens, pool_k, pool_v, block_tables,
         v = v.reshape(s, 1, nkv, hd)
 
         # scatter this token's k/v into each slot's current page
-        pk_l = pk_l.at[write_block, write_off].set(k[:, 0].astype(pk_l.dtype))
-        pv_l = pv_l.at[write_block, write_off].set(v[:, 0].astype(pv_l.dtype))
+        # (pk_l[wb, :, wo] with non-adjacent advanced indices -> [S, Hkv, D])
+        pk_l = pk_l.at[write_block, :, write_off].set(
+            k[:, 0].astype(pk_l.dtype))
+        pv_l = pv_l.at[write_block, :, write_off].set(
+            v[:, 0].astype(pv_l.dtype))
 
         attn = paged_attention(
             q[:, 0], pk_l, pv_l, block_tables, lengths + 1
@@ -179,8 +184,10 @@ class PagedEngine:
             """
             l, t_pad, hkv, hd = ck.shape
             n_pages = t_pad // self.block_size
-            pages_k = ck.reshape(l, n_pages, self.block_size, hkv, hd)
-            pages_v = cv.reshape(l, n_pages, self.block_size, hkv, hd)
+            pages_k = jnp.swapaxes(
+                ck.reshape(l, n_pages, self.block_size, hkv, hd), 2, 3)
+            pages_v = jnp.swapaxes(
+                cv.reshape(l, n_pages, self.block_size, hkv, hd), 2, 3)
             pool_k = pool_k.at[:, page_ids].set(pages_k)
             pool_v = pool_v.at[:, page_ids].set(pages_v)
             return pool_k, pool_v
@@ -215,7 +222,7 @@ class PagedEngine:
 
         l, nkv, hd = self.cfg.n_layers, self.cfg.n_kv_heads, self.cfg.head_dim
         dt = jnp.dtype(self.cfg.dtype)
-        pool_k = jnp.zeros((l, self.n_blocks, self.block_size, nkv, hd), dt)
+        pool_k = jnp.zeros((l, self.n_blocks, nkv, self.block_size, hd), dt)
         pool_v = jnp.zeros_like(pool_k)
         alloc = BlockAllocator(self.n_blocks)
 

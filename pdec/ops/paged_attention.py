@@ -32,19 +32,25 @@ _NEG_INF = -1e30
 
 def paged_attention_reference(
     q: jnp.ndarray,            # [S, Hq, D] one decode token per slot
-    pool_k: jnp.ndarray,       # [n_blocks, B, Hkv, D]
-    pool_v: jnp.ndarray,       # [n_blocks, B, Hkv, D]
+    pool_k: jnp.ndarray,       # [n_blocks, Hkv, B, D]
+    pool_v: jnp.ndarray,       # [n_blocks, Hkv, B, D]
     block_tables: jnp.ndarray,  # [S, maxP] pool ids (unused entries: any valid id)
     lengths: jnp.ndarray,      # [S] valid tokens per slot (incl. current)
 ) -> jnp.ndarray:
-    """Dense reference: gather pages, mask, softmax."""
+    """Dense reference: gather pages, mask, softmax.
+
+    Pool layout is [n_blocks, Hkv, B, D] — kv-heads BEFORE tokens — so the
+    Pallas kernel's k/v blocks are (1, 1, B, D): XLA:TPU requires each
+    block's last two dims to be (8, 128)-divisible or equal to the array
+    dims, and a trailing per-head axis of size 1 violates that whenever
+    Hkv > 1 (measured on-chip; CPU interpret mode never checks)."""
     s, hq, d = q.shape
-    nb, blk, hkv, _ = pool_k.shape
+    nb, hkv, blk, _ = pool_k.shape
     maxp = block_tables.shape[1]
-    k = pool_k[block_tables]  # [S, maxP, B, Hkv, D]
+    k = pool_k[block_tables]  # [S, maxP, Hkv, B, D]
     v = pool_v[block_tables]
-    k = k.reshape(s, maxp * blk, hkv, d)
-    v = v.reshape(s, maxp * blk, hkv, d)
+    k = jnp.swapaxes(k, 2, 3).reshape(s, maxp * blk, hkv, d)
+    v = jnp.swapaxes(v, 2, 3).reshape(s, maxp * blk, hkv, d)
     group = hq // hkv
     k = jnp.repeat(k, group, axis=2)
     v = jnp.repeat(v, group, axis=2)
@@ -63,8 +69,8 @@ def _paged_kernel(
     lengths_ref,               # [S] int32
     # array operands (blocked)
     q_ref,                     # [1, 1, G, D]
-    k_ref,                     # [1, B, 1, D]
-    v_ref,                     # [1, B, 1, D]
+    k_ref,                     # [1, 1, B, D]
+    v_ref,                     # [1, 1, B, D]
     o_ref,                     # [1, 1, G, D]
     # scratch
     m_ref, l_ref, acc_ref,
@@ -87,8 +93,8 @@ def _paged_kernel(
     @pl.when(page * block_size < length)
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32) * scale          # [G, D]
-        k = k_ref[0, :, 0].astype(jnp.float32)               # [B, D]
-        v = v_ref[0, :, 0].astype(jnp.float32)               # [B, D]
+        k = k_ref[0, 0].astype(jnp.float32)                  # [B, D]
+        v = v_ref[0, 0].astype(jnp.float32)                  # [B, D]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [G, B]
         pos = page * block_size + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 1
@@ -116,7 +122,7 @@ def paged_attention_kernel(
 ):
     """Pallas paged decode attention (see module docstring for layout)."""
     s, hq, d = q.shape
-    nb, blk, hkv, _ = pool_k.shape
+    nb, hkv, blk, _ = pool_k.shape
     group = hq // hkv
     maxp = block_tables.shape[1]
     qg = q.reshape(s, hkv, group, d)
@@ -126,8 +132,8 @@ def paged_attention_kernel(
         grid=(s, hkv, maxp),
         in_specs=[
             pl.BlockSpec((1, 1, group, d), lambda s_, h, p, bt, ln: (s_, h, 0, 0)),
-            pl.BlockSpec((1, blk, 1, d), lambda s_, h, p, bt, ln: (bt[s_, p], 0, h, 0)),
-            pl.BlockSpec((1, blk, 1, d), lambda s_, h, p, bt, ln: (bt[s_, p], 0, h, 0)),
+            pl.BlockSpec((1, 1, blk, d), lambda s_, h, p, bt, ln: (bt[s_, p], h, 0, 0)),
+            pl.BlockSpec((1, 1, blk, d), lambda s_, h, p, bt, ln: (bt[s_, p], h, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, group, d), lambda s_, h, p, bt, ln: (s_, h, 0, 0)

@@ -21,8 +21,8 @@ def test_paged_kernel_matches_reference_interpret():
     key = jax.random.PRNGKey(0)
     S, Hq, Hkv, D, NB, BLK, MAXP = 4, 8, 2, 64, 16, 16, 5
     q = jax.random.normal(key, (S, Hq, D), jnp.float32)
-    pk = jax.random.normal(jax.random.PRNGKey(1), (NB, BLK, Hkv, D))
-    pv = jax.random.normal(jax.random.PRNGKey(2), (NB, BLK, Hkv, D))
+    pk = jax.random.normal(jax.random.PRNGKey(1), (NB, Hkv, BLK, D))
+    pv = jax.random.normal(jax.random.PRNGKey(2), (NB, Hkv, BLK, D))
     bt = jax.random.randint(jax.random.PRNGKey(3), (S, MAXP), 0, NB)
     lengths = jnp.asarray([5, 16, 33, 80])
     ref = paged_attention_reference(q, pk, pv, bt, lengths)
