@@ -217,6 +217,19 @@ def eval_robustness_batch(
         # one synthesis executable per family instead of one per 64-step
         # horizon bucket (padded steps are masked out of robustness windows)
         fam = FAMILY_BUCKET.get(prog.kind)
+        # pathological-size guard: a MODEL-GENERATED program can demand an
+        # arbitrary time grid (garbled t_final/dt) or spatial resolution;
+        # synthesis HBM scales as lanes x (T/stride) x X x clauses, and one
+        # monster program inflates its whole group's static shapes
+        # (measured: a matched-shot wave batch requested 25.35G of the
+        # chip's 15.75G at COMPILE time). The reference bounds pathological
+        # programs with a per-problem wall-clock timeout (simulate_gt.py);
+        # with AOT static shapes the analog is a size clamp — oversize
+        # programs stay _FAILED, counted in 'robustness failure rate' like
+        # any unsolvable generation (corpus programs: n_elements == 20,
+        # n_steps <= the family bucket, so 64 / 4x give wide headroom).
+        if prog.n_elements > 64 or n_steps > 4 * (fam or 2048):
+            continue
         if fam is not None and n_steps <= fam:
             bucket_base = fam
         else:
@@ -270,6 +283,12 @@ def eval_robustness_batch(
         # chunk to a power of two so repeated sweeps over different dataset
         # sizes reuse one compiled executable per (family, bucket, size).
         cap = FAMILY_DISPATCH.get(kind, 256)
+        fam_bucket = FAMILY_BUCKET.get(kind)
+        if fam_bucket is not None and bucket > fam_bucket:
+            # keep the dispatch HBM footprint ~constant when a group's
+            # (legitimately oversize, guard-admitted) horizon inflates
+            # the per-lane robustness tensors
+            cap = max(8, (cap * fam_bucket) // bucket)
         for s in range(0, len(ok_idxs), cap):
             c_progs = progs_ok[s:s + cap]
             c_specs = specs[s:s + cap]

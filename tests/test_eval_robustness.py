@@ -177,3 +177,16 @@ def test_chained_never_worse_than_plain_rescore():
     )
     assert isinstance(chained[0][0], float)
     assert chained[0][0] >= plain[0][0] - 1e-4
+
+
+def test_pathological_size_guard():
+    """Model-generated programs demanding monster grids must fail cleanly
+    instead of compiling multi-GB synthesis executables (a garbled wave
+    batch requested 25.35G of the chip's 15.75G HBM at compile time).
+    The reference's analog is its per-problem wall-clock timeout."""
+    huge_t = HEAT_PROGRAM.replace("T = 8", "T = 8000")     # 160k steps
+    huge_n = HEAT_PROGRAM.replace("N = 30", "N = 300")     # 10x spatial
+    out = eval_robustness_batch(
+        [huge_t, huge_n], key=jax.random.PRNGKey(0), config=FAST
+    )
+    assert out == [("failed", "failed")] * 2
