@@ -92,6 +92,12 @@ def test_dpo_step_improves_preference():
 def test_sharded_sft_step_on_8_device_mesh():
     """The full-finetune step compiles and runs with FSDP+TP sharding on the
     virtual 8-CPU mesh (2 fsdp x 2 tp x 2 data)."""
+    # this is the largest XLA:CPU compile in the suite; with the executable
+    # caches of every preceding test still resident, the compiler has been
+    # observed to segfault here in full-suite runs (passes in isolation
+    # and with shorter prefixes). Dropping cached executables first keeps
+    # the compile within the crash-free envelope.
+    jax.clear_caches()
     assert jax.device_count() == 8
     mesh = make_mesh(MeshConfig(data=2, fsdp=2, tp=2))
     params = init_params(jax.random.PRNGKey(0), CFG)
